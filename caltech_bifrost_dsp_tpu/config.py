@@ -1,0 +1,146 @@
+"""Unified, validated system configuration.
+
+The reference spreads its configuration over three tiers: xGPU compile-time
+constants (reference: install_xgpu.sh:5), script-level constants
+(reference: pipeline/scripts/lwa352-pipeline.py:163-180) and runtime etcd
+command keys (reference: pipeline/lwa352_pipeline/blocks/block_base.py:162-192).
+Here the first two tiers are unified into one frozen dataclass; the third
+tier keeps its reference semantics in :mod:`caltech_bifrost_dsp_tpu.control`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+# System constants (reference: pipeline-control/lwa352_pipeline_control/
+# lwa352_utils.py:1-3 and pipeline/lwa352_pipeline/blocks/capture_block.py:165)
+FS_HZ = 196_000_000          # ADC sample rate in Hz
+FENGINE_NCHAN = 4096         # Channels produced by the F-engine PFB
+CHAN_BW_HZ = 23925.78125     # = FS_HZ / (2 * FENGINE_NCHAN)
+SPECTRA_RATE_HZ = FS_HZ / (2 * FENGINE_NCHAN)  # ~23.926 kHz
+
+
+@dataclass(frozen=True)
+class XEngineConfig:
+    """One pipeline's operating point.
+
+    Defaults mirror the production constants in
+    reference: pipeline/scripts/lwa352-pipeline.py:163-180.
+    """
+
+    nstand: int = 352            # antenna stands
+    npol: int = 2                # polarizations per stand
+    nchan: int = 192             # channels owned by this pipeline
+    ntime_gulp: int = 480        # samples per compute gulp (xGPU NTIME)
+    acc_len: int = 2400          # fast-corr accumulation (~100 ms)
+    acc_len_slow: int = 240_000  # slow-corr accumulation (~10 s)
+    nbeam: int = 32              # single-pol voltage beams (16 dual-pol)
+    ntime_sum: int = 24          # beam-power integration length
+    nchan_sum: int = 4           # subsel channel-averaging factor
+    npipeline: int = 32          # frequency-shard count across the system
+    pipeline_id: int = 0         # this pipeline's global index
+    fs_hz: float = FS_HZ
+    chan_bw_hz: float = CHAN_BW_HZ
+    # PFB channelizer (new first-class component; the reference's 4096-chan
+    # channelizer lives in FPGA gateware outside the repo, and its offline
+    # 32x upchannelizer is a plain blockwise FFT,
+    # reference: pipeline/scripts/lwa352-upchan-bf.py:94-97).
+    pfb_ntap: int = 4
+    nupchan: int = 32            # fine channels per coarse channel (offline)
+
+    def __post_init__(self):
+        if self.acc_len % self.ntime_gulp != 0:
+            raise ValueError(
+                "acc_len must be a multiple of ntime_gulp "
+                f"({self.acc_len} % {self.ntime_gulp} != 0)")
+        if self.acc_len_slow % self.acc_len != 0:
+            raise ValueError(
+                "acc_len_slow must be a multiple of acc_len "
+                f"({self.acc_len_slow} % {self.acc_len} != 0)")
+        if self.ntime_gulp % self.ntime_sum != 0:
+            raise ValueError("ntime_gulp must be a multiple of ntime_sum")
+        if self.nchan % self.nchan_sum != 0:
+            raise ValueError("nchan must be a multiple of nchan_sum")
+        if self.nstand % 4 != 0:
+            # Required by the xGPU register-tile order emulation
+            # (reference: pipeline/lwa352_pipeline/blocks/corr_block.py:37-58).
+            raise ValueError("nstand must be a multiple of 4")
+        if self.nbeam % 2 != 0:
+            raise ValueError("nbeam must be even (beams pair into X/Y pols)")
+
+    # ---- derived quantities -------------------------------------------------
+
+    @property
+    def ninput(self) -> int:
+        """Total correlator inputs (stand-pols)."""
+        return self.nstand * self.npol
+
+    @property
+    def system_nchan(self) -> int:
+        """Channels across all frequency-sharded pipelines
+        (reference: lwa352-pipeline.py:179)."""
+        return self.nchan * self.npipeline
+
+    @property
+    def spectra_rate_hz(self) -> float:
+        return self.fs_hz / (2 * FENGINE_NCHAN)
+
+    @property
+    def matlen(self) -> int:
+        """xGPU triangular-order matrix length in complex words
+        (reference: corr_block.py:231)."""
+        return (self.nchan * (self.nstand // 2 + 1) * (self.nstand // 4)
+                * self.npol * self.npol * 4)
+
+    @property
+    def nvis_out(self) -> int:
+        """Subselected visibility count: 48 dual-pol stands' full matrix
+        (reference: corr_subsel_block.py:185)."""
+        return 48 * 49 * 4 // 2
+
+    @property
+    def nbaseline(self) -> int:
+        """Stand pairs including autos."""
+        return self.nstand * (self.nstand + 1) // 2
+
+    @property
+    def gulp_nbyte(self) -> int:
+        """Bytes per input gulp of packed 4+4-bit samples."""
+        return self.ntime_gulp * self.nchan * self.ninput
+
+    @property
+    def input_gbps(self) -> float:
+        """Real-time input rate this pipeline must sustain, Gb/s
+        (reference implied rate, BASELINE.md)."""
+        return self.nchan * self.ninput * self.spectra_rate_hz * 8 / 1e9
+
+    @property
+    def chan0(self) -> int:
+        """First (global) channel this pipeline owns."""
+        return self.pipeline_id * self.nchan
+
+    @property
+    def sfreq_hz(self) -> float:
+        """Center frequency of this pipeline's first channel."""
+        return self.chan0 * self.chan_bw_hz
+
+    def replace(self, **kw) -> "XEngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+#: The production LWA-352 operating point.
+LWA352 = XEngineConfig()
+
+#: Reduced configs used by the test suite and the staged benchmarks
+#: (BASELINE.json "configs").
+TINY = XEngineConfig(nstand=16, nchan=16, ntime_gulp=48, acc_len=240,
+                     acc_len_slow=480, nbeam=4, ntime_sum=12, nchan_sum=4,
+                     npipeline=2)
+CPU_REF = XEngineConfig(nstand=16, nchan=64, ntime_gulp=120, acc_len=240,
+                        acc_len_slow=480, nbeam=8, ntime_sum=24, nchan_sum=4,
+                        npipeline=2)
+SINGLE_CHIP_SMALL = XEngineConfig(nstand=32, nchan=192, ntime_gulp=480,
+                                  acc_len=2400, acc_len_slow=240_000,
+                                  nbeam=16)

@@ -1,0 +1,303 @@
+"""User-facing control clients.
+
+Mirrors the ``pipeline-control`` package: a transport client that sends
+JSON commands and waits for sequence-ID-matched responses
+(reference: pipeline-control/.../etcd_control.py:229-314), per-block control
+handles (reference: .../blocks/block_control_base.py, corr_control.py, ...)
+and the multi-pipeline orchestrator with two-phase arm verification
+(reference: .../lwa352_pipeline_control.py:102-207).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from ..utils import timeutils
+from .command import block_key
+
+
+class CommandTimeout(RuntimeError):
+    pass
+
+
+class CorrControlClient:
+    """send_command / get_status over a KV store.
+
+    ``simulated=True`` returns the raw command JSON instead of sending it —
+    the reference's offline-test mode (etcd_control.py:276-277), used with
+    :meth:`CommandBlock.process_command_strings`.
+    """
+
+    def __init__(self, store=None, simulated: bool = False,
+                 cmd_root: str = "/cmd/corr", mon_root: str = "/mon/corr",
+                 resp_root: str = "/resp/corr", timeout_s: float = 5.0):
+        if store is None and not simulated:
+            raise ValueError("need a store unless simulated")
+        self.store = store
+        self.simulated = simulated
+        self.cmd_root = cmd_root
+        self.mon_root = mon_root
+        self.resp_root = resp_root
+        self.timeout_s = timeout_s
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    def _next_seq(self) -> str:
+        with self._lock:
+            self._seq += 1
+            return str(self._seq)
+
+    def send_command(self, host, pipeline_id, block, instance_id=0,
+                     timeout_s=None, **kwargs):
+        """Issue an update command; block until the matching response.
+
+        Returns the response's ``val`` dict, or raises CommandTimeout.
+        """
+        seq_id = self._next_seq()
+        cmd = {"cmd": "update", "id": seq_id, "val": {"kwargs": kwargs}}
+        cmd_json = json.dumps(cmd)
+        if self.simulated:
+            return cmd_json
+        cmd_key = block_key(self.cmd_root, host, pipeline_id, block,
+                            instance_id)
+        resp_key = block_key(self.resp_root, host, pipeline_id, block,
+                             instance_id)
+        got = threading.Event()
+        result = {}
+
+        def _cb(watchresponse):
+            for ev in watchresponse.events:
+                try:
+                    resp = json.loads(ev.value)
+                except ValueError:
+                    continue
+                if resp.get("id") == seq_id:
+                    result.update(resp.get("val", {}))
+                    got.set()
+
+        watch_id = self.store.add_watch_prefix_callback(resp_key, _cb)
+        try:
+            self.store.put(cmd_key, cmd_json)
+            if not got.wait(timeout_s or self.timeout_s):
+                raise CommandTimeout(
+                    f"no response from {block}/{instance_id} on {host}")
+        finally:
+            self.store.cancel_watch(watch_id)
+        if result.get("status") != "normal":
+            raise RuntimeError(f"command rejected: {result}")
+        return result
+
+    def get_status(self, host, pipeline_id, block, instance_id=0):
+        key = block_key(self.mon_root, host, pipeline_id, block, instance_id)
+        raw = self.store.get(key + "/status") or self.store.get(key)
+        return json.loads(raw) if raw else {}
+
+
+class BlockControl:
+    """Base per-block handle (block_control_base.py semantics)."""
+
+    def __init__(self, client: CorrControlClient, host: str,
+                 pipeline_id: int, name: str | None = None,
+                 instance_id: int = 0):
+        self._client = client
+        self._host = host
+        self._pid = pipeline_id
+        self._name = name or type(self).__name__.replace("Control", "")
+        self._instance_id = instance_id
+
+    def _send_command(self, **kwargs):
+        return self._client.send_command(self._host, self._pid, self._name,
+                                         self._instance_id, **kwargs)
+
+    def get_status(self):
+        return self._client.get_status(self._host, self._pid, self._name,
+                                       self._instance_id)
+
+
+class CorrControl(BlockControl):
+    """(reference: blocks/corr_control.py)"""
+
+    def set_start_time(self, start_time: int):
+        assert isinstance(start_time, int)
+        return self._send_command(start_time=start_time)
+
+    def set_acc_length(self, acc_len: int):
+        assert isinstance(acc_len, int)
+        return self._send_command(acc_len=acc_len)
+
+    def get_next_allowed_start(self, delay_s: float,
+                               sync_time: float | None = None,
+                               spectra_rate_hz: float | None = None,
+                               granularity: int | None = None) -> int:
+        status = self.get_status()
+        sync_time = sync_time if sync_time is not None \
+            else status.get("sync_time", 0)
+        if spectra_rate_hz is None:
+            spectra_rate_hz = status["bw_hz"] / status["nchan"]
+        if granularity is None:
+            granularity = status["stats"]["xgpu_acc_len"]
+        return timeutils.next_allowed_start(time.time(), delay_s, sync_time,
+                                            spectra_rate_hz, granularity)
+
+    def triggered_start(self, delay_s: float):
+        return self.set_start_time(self.get_next_allowed_start(delay_s))
+
+
+class CorrAccControl(CorrControl):
+    pass
+
+
+class CorrSubselControl(BlockControl):
+    """(reference: blocks/corr_subsel_control.py)"""
+
+    NVIS = 48 * 49 * 4 // 2
+
+    def set_baseline_select(self, baselines):
+        b = list(baselines)
+        assert len(b) == self.NVIS, \
+            f"baseline list must have {self.NVIS} entries"
+        return self._send_command(baselines=b)
+
+
+class BeamformControl(BlockControl):
+    """(reference: blocks/beamform_control.py)"""
+
+    def update_calibration_gains(self, beam_id: int, input_id: int, gains):
+        """gains: complex array [nchan]; sent as interleaved re/im floats."""
+        import numpy as np
+
+        g = np.asarray(gains)
+        data = np.empty(2 * g.size, dtype=np.float64)
+        data[0::2] = np.real(g)
+        data[1::2] = np.imag(g)
+        return self._send_command(coeffs={"type": "calgains",
+                                          "input_id": int(input_id),
+                                          "beam_id": int(beam_id),
+                                          "data": data.tolist()})
+
+    def update_delays(self, beam_id: int, delays_ns, amps=None,
+                      load_sample: int = -1):
+        import numpy as np
+
+        delays_ns = np.asarray(delays_ns, dtype=np.float64)
+        if amps is None:
+            amps = np.ones_like(delays_ns)
+        return self._send_command(coeffs={
+            "type": "beamcoeffs", "beam_id": int(beam_id),
+            "data": {"delays": delays_ns.tolist(),
+                     "amps": np.asarray(amps, dtype=np.float64).tolist()},
+            "load_sample": int(load_sample)})
+
+
+class OutputControl(BlockControl):
+    """dest/throttle setters shared by the corr/beam output sinks
+    (reference: blocks/corr_output_full_control.py etc.)."""
+
+    def set_destination(self, dest_ip: str, dest_port: int):
+        return self._send_command(dest_ip=dest_ip, dest_port=int(dest_port))
+
+    def set_max_mbps(self, max_mbps: int):
+        return self._send_command(max_mbps=int(max_mbps))
+
+    def set_dest_file(self, dest_file: str):
+        return self._send_command(dest_file=dest_file)
+
+
+class TriggeredDumpControl(BlockControl):
+    """(reference: blocks/triggered_dump_control.py)"""
+
+    def trigger(self, ntime_per_file=None, nfile=None, dump_path=None):
+        kwargs = {"command": "trigger"}
+        if ntime_per_file is not None:
+            kwargs["ntime_per_file"] = int(ntime_per_file)
+        if nfile is not None:
+            kwargs["nfile"] = int(nfile)
+        if dump_path is not None:
+            kwargs["dump_path"] = dump_path
+        return self._send_command(**kwargs)
+
+    def abort(self):
+        return self._send_command(command="abort")
+
+    def stop(self):
+        return self._send_command(command="stop")
+
+
+class PipelineControl:
+    """Handles for one pipeline's blocks
+    (reference: lwa352_pipeline_control.py:297-424)."""
+
+    def __init__(self, client: CorrControlClient, host: str,
+                 pipeline_id: int):
+        self.host = host
+        self.pipeline_id = pipeline_id
+        self.corr = CorrControl(client, host, pipeline_id, "Corr")
+        self.corr_acc = CorrAccControl(client, host, pipeline_id, "CorrAcc")
+        self.corr_subsel = CorrSubselControl(client, host, pipeline_id,
+                                             "CorrSubsel")
+        self.beamform = BeamformControl(client, host, pipeline_id,
+                                        "Beamform")
+        self.corr_output_full = OutputControl(client, host, pipeline_id,
+                                              "CorrOutputFull")
+        self.corr_output_part = OutputControl(client, host, pipeline_id,
+                                              "CorrOutputPart")
+        self.beamform_output = OutputControl(client, host, pipeline_id,
+                                             "BeamformOutput")
+        self.triggered_dump = TriggeredDumpControl(client, host, pipeline_id,
+                                                   "TriggeredDump")
+
+    def pipeline_is_up(self, max_age_s: float = 30.0) -> bool:
+        """Liveness = status-key freshness
+        (reference: lwa352_pipeline_control.py:411-424)."""
+        st = self.corr.get_status()
+        ts = st.get("stats", {}).get("last_update_time",
+                                     st.get("last_update_time", 0))
+        return bool(ts) and (time.time() - ts) < max_age_s
+
+
+class CorrelatorControl:
+    """Multi-pipeline orchestration with two-phase arm verification
+    (reference: lwa352_pipeline_control.py:33-295)."""
+
+    def __init__(self, client: CorrControlClient,
+                 pipelines: list[PipelineControl]):
+        self.client = client
+        self.pipelines = pipelines
+
+    def configure_corr(self, dest_ip="0.0.0.0", dest_port=10000,
+                       max_mbps=20000, delay_s=5.0):
+        for p in self.pipelines:
+            p.corr_output_full.set_destination(dest_ip, dest_port)
+            p.corr_output_full.set_max_mbps(max_mbps)
+        self.arm_and_wait(delay_s=delay_s)
+
+    def arm_and_wait(self, delay_s: float = 5.0, acc_len: int | None = None,
+                     timeout_s: float = 30.0,
+                     poll_s: float = 0.05) -> int:
+        """Two-phase arm: command a common future start on every pipeline,
+        verify each reaches 'waiting', then verify each reaches 'running'
+        (reference: _arm_and_wait, lwa352_pipeline_control.py:165-207).
+
+        Returns the commanded start spectra index.
+        """
+        start = None
+        for p in self.pipelines:
+            if acc_len is not None:
+                p.corr.set_acc_length(acc_len)
+            s = p.corr.get_next_allowed_start(delay_s)
+            start = s if start is None else start
+            p.corr.set_start_time(start)
+        deadline = time.time() + timeout_s
+        for wanted in ("waiting", "running"):
+            while time.time() < deadline:
+                states = [p.corr.get_status().get("stats", {}).get("state")
+                          for p in self.pipelines]
+                if all(s in (wanted, "running") for s in states):
+                    break
+                time.sleep(poll_s)
+            else:
+                raise CommandTimeout(
+                    f"pipelines failed to reach state {wanted!r}")
+        return start

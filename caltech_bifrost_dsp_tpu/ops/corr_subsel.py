@@ -1,0 +1,76 @@
+"""Baseline subselection with channel averaging.
+
+Replaces ``bfXgpuSubSelect`` (reference: blocks/corr_subsel_block.py:298):
+pick ``nvis_out`` single-pol visibilities out of the full matrix by
+(stand, pol) pairs, conjugating as needed, and sum groups of ``nchan_sum``
+adjacent channels.  In the reference the selection indexes xGPU's packed
+triangular buffer through the ``antpol_to_bl``/``bl_is_conj`` maps; with the
+dense [chan, input, input] layout the full Hermitian matrix is available so
+the selection is a plain gather — ``vis[c, i0, i1]`` *is*
+``v(i0) * conj(v(i1))`` — and no conjugation fix-up is required.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .correlate import Vis
+
+
+def baselines_to_inputs(baselines, npol: int = 2) -> np.ndarray:
+    """[nvis, 2, 2] listing of ((s0, p0), (s1, p1)) -> [nvis, 2] input idx.
+
+    The baseline-list format matches the runtime-reloadable command key
+    (reference: blocks/corr_subsel_block.py docstring, and the control-side
+    validation at pipeline-control/.../corr_subsel_control.py).  The first
+    entry is the unconjugated input, the second the conjugated one.
+    """
+    b = np.asarray(baselines, dtype=np.int64)
+    if b.ndim != 3 or b.shape[1:] != (2, 2):
+        raise ValueError("baselines must be [nvis, 2, 2]")
+    return b[:, :, 0] * npol + b[:, :, 1]
+
+
+def default_baselines(nvis_out: int, nstand: int) -> list:
+    """Default selection: pol-0 autos cycling over stands
+    (reference: corr_subsel_block.py:231-233)."""
+    return [[[i % nstand, 0], [i % nstand, 0]] for i in range(nvis_out)]
+
+
+def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
+    """Gather + channel-sum.
+
+    Args:
+      vis: dense int32 Vis [nchan, ninput, ninput].
+      input_pairs: int32 [nvis, 2] (unconjugated, conjugated) input indices.
+      nchan_sum: adjacent channels summed per output channel
+        (CORR_SUBSEL_NCHAN_SUM=4, reference: lwa352-pipeline.py:175).
+
+    Returns:
+      int32 Vis with arrays [nchan // nchan_sum, nvis]
+      (the ci32 [nchan_out, nvis_out] output buffer layout,
+      reference: corr_subsel_block.py:214-216).
+    """
+    nchan = vis.real.shape[0]
+    if nchan % nchan_sum:
+        raise ValueError("nchan must be a multiple of nchan_sum")
+    i0 = input_pairs[:, 0]
+    i1 = input_pairs[:, 1]
+    sel_r = vis.real[:, i0, i1]  # [nchan, nvis]
+    sel_i = vis.imag[:, i0, i1]
+
+    def csum(x):
+        return x.reshape(nchan // nchan_sum, nchan_sum, -1).sum(
+            axis=1, dtype=jnp.int32)
+
+    return Vis(csum(sel_r), csum(sel_i))
+
+
+def subsel_output_sfreq(sfreq: float, bw_hz: float, nchan: int,
+                        nchan_sum: int) -> float:
+    """Output header sfreq arithmetic, kept reference-identical
+    (reference: corr_subsel_block.py:268-270)."""
+    chan_width = bw_hz / nchan
+    return (sfreq + ((nchan_sum - 1) * chan_width)) / nchan_sum

@@ -1,0 +1,148 @@
+"""Full-array cross-correlation ("X") on the MXU.
+
+Replaces the reference's xGPU CUDA library (fixed-function 4-bit DP4A
+X-engine, build config at reference: install_xgpu.sh:5; call sites at
+reference: blocks/corr_block.py:253,445) with integer matmuls on the TPU
+MXU:
+
+    V[c, i, j] = sum_t  x[t, c, i] * conj(x[t, c, j])
+
+computed as four int8 x int8 -> int32 batched matmuls per channel (real and
+imaginary planes).  4-bit products are at most 2*8*8 = 128 per component and
+accumulate exactly in int32 up to ~16.7M samples, far beyond the 240,000
+sample slow-accumulation (reference: lwa352-pipeline.py:324), so outputs are
+bit-exact against the golden-vector convention
+``corr[..., s0, s1, p0, p1] = v(s0, p0) * conj(v(s1, p1))``
+(reference: verification/README.md:60-62) when inputs are ordered
+``input = npol*stand + pol``.
+
+Unlike xGPU, the visibility matrix is kept dense ([chan, input, input], full
+Hermitian) rather than register-tile triangular; the packed order exists
+only in the verification shims (:mod:`.xgpu_order`).  Dense layout is the
+right trade on TPU: the MXU wants large square tiles, HBM capacity is ample,
+and every downstream consumer (long accumulation, subselection, reorder,
+packetizers) becomes a plain gather/transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.codec import unpack_jnp
+
+
+class Vis(NamedTuple):
+    """Integer visibilities, dense layout [nchan, ninput, ninput].
+
+    ``real + 1j*imag`` is ``sum_t v_i conj(v_j)`` accumulated over however
+    many spectra produced it (tracked externally via sequence headers, as in
+    the reference's ``acc_len`` header field, corr_block.py:403).
+    """
+    real: jax.Array  # int32 [nchan, ninput, ninput]
+    imag: jax.Array  # int32 [nchan, ninput, ninput]
+
+    @property
+    def nchan(self):
+        return self.real.shape[0]
+
+    @property
+    def ninput(self):
+        return self.real.shape[1]
+
+    def __add__(self, other: "Vis") -> "Vis":
+        return Vis(self.real + other.real, self.imag + other.imag)
+
+
+def zero_vis(nchan: int, ninput: int, dtype=jnp.int32) -> Vis:
+    z = jnp.zeros((nchan, ninput, ninput), dtype=dtype)
+    return Vis(z, z)
+
+
+def _xcorr_planes(xr, xi):
+    """Correlate unpacked int8 planes [ntime, nchan, ninput].
+
+    Returns int32 Vis.  x_i * conj(x_j) = (ar*br + ai*bi) + 1j(ai*br - ar*bi)
+    summed over t; each term is one MXU-batched contraction over t.
+    """
+    def xc(a, b):
+        # [t, c, i] x [t, c, j] -> [c, i, j], contracting t, batching c.
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((0,), (0,)), ((1,), (1,))),
+            preferred_element_type=jnp.int32)
+
+    vr = xc(xr, xr) + xc(xi, xi)
+    vi = xc(xi, xr) - xc(xr, xi)
+    return Vis(vr, vi)
+
+
+def correlate_gulp(packed: jax.Array) -> Vis:
+    """Correlate one gulp of packed 4+4-bit samples.
+
+    Args:
+      packed: uint8 [ntime, nchan, ninput] (the capture-ring data order,
+        reference: corr_block.py:115-117).
+
+    Returns:
+      int32 Vis [nchan, ninput, ninput] integrated over the gulp.
+    """
+    xr, xi = unpack_jnp(packed)
+    return _xcorr_planes(xr, xi)
+
+
+def correlate_accumulate(packed: jax.Array, ntime_gulp: int,
+                         acc: Vis | None = None) -> Vis:
+    """Correlate-and-accumulate a block of ``k * ntime_gulp`` spectra.
+
+    Mirrors the xGPU accumulate-then-dump usage (``bfXgpuKernel`` with the
+    dump flag on the final gulp, reference: corr_block.py:445) as a
+    ``lax.scan`` over gulps with an int32 carry; XLA keeps the carry on
+    device so HBM traffic per gulp is one unpack + one matmul output add.
+
+    Args:
+      packed: uint8 [ntime, nchan, ninput] with ntime % ntime_gulp == 0.
+      ntime_gulp: samples per inner matmul (t-dimension of the MXU
+        contraction).  Larger gulps amortize more; 480 matches the
+        reference's operating point.
+      acc: optional carry-in from a previous call (for accumulations that
+        span host-side input blocks).
+    """
+    ntime, nchan, ninput = packed.shape
+    if ntime % ntime_gulp != 0:
+        raise ValueError(f"ntime {ntime} not a multiple of gulp {ntime_gulp}")
+    ngulp = ntime // ntime_gulp
+    if acc is None:
+        acc = zero_vis(nchan, ninput)
+    if ngulp == 1:
+        return acc + correlate_gulp(packed)
+    chunks = packed.reshape(ngulp, ntime_gulp, nchan, ninput)
+
+    def step(carry, chunk):
+        return carry + correlate_gulp(chunk), None
+
+    acc, _ = jax.lax.scan(step, acc, chunks)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("ntime_gulp",))
+def correlate_accumulate_jit(packed: jax.Array, ntime_gulp: int) -> Vis:
+    return correlate_accumulate(packed, ntime_gulp)
+
+
+def vis_to_numpy_complex(vis: Vis):
+    """Dense complex128 view for verification (exact: int32 fits float64)."""
+    import numpy as np
+
+    return (np.asarray(vis.real, dtype=np.int64)
+            + 1j * np.asarray(vis.imag, dtype=np.int64)).astype(np.complex128)
+
+
+def long_accumulate(vis_new: Vis, vis_acc: Vis) -> Vis:
+    """One CorrAcc step: int32 add of a fast dump into the slow accumulator
+    (replaces the JIT'd ``BFMap("a += b")`` at
+    reference: blocks/corr_acc_block.py:304-306)."""
+    return vis_acc + vis_new

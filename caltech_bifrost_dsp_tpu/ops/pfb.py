@@ -1,0 +1,148 @@
+"""Polyphase filterbank (F-engine) channelization.
+
+The reference's 4096-channel PFB lives in FPGA gateware outside its repo;
+per BASELINE.json's north star the TPU framework implements channelization
+as a first-class component.  The only in-repo software channelizer is the
+offline 32x "upchannelizer" — a blockwise, windowless frame FFT
+(reference: pipeline/scripts/lwa352-upchan-bf.py:94-97, frame axes set up at
+blocks/trigger_source_block.py:37-49) — which is also provided here.
+
+Design notes (TPU-first):
+- The critically-sampled PFB frontend is ``frames -> window FIR -> rFFT``:
+  frame f of the decimated-by-L stream uses samples [f*L, f*L + ntap*L).
+  The FIR is expressed as a dot of the [ntap, L] sample tile with the
+  [ntap, L] window (a VPU multiply + small-axis reduction); the FFT is
+  XLA's native rfft, which maps to the TPU's fused transcendental path.
+  Everything is static-shaped and jit/scan friendly.
+- Overlap framing makes this the framework's sequence-parallel component:
+  time-sharded operation needs (ntap-1)*L halo samples from the preceding
+  shard, exchanged with ``ppermute``
+  (:func:`caltech_bifrost_dsp_tpu.parallel.mesh.pfb_halo_exchange`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pfb_window(nchan: int, ntap: int, kind: str = "hamming") -> np.ndarray:
+    """Standard sinc-windowed PFB prototype filter, [ntap, 2*nchan] f32.
+
+    ``sinc`` spans [-ntap/2, ntap/2) so each branch applies one sinc lobe;
+    normalized so the filter sums to 1 per polyphase branch on average.
+    """
+    taps = ntap * 2 * nchan
+    t = np.arange(taps) / (2 * nchan) - ntap / 2.0
+    sinc = np.sinc(t)
+    if kind == "hamming":
+        win = np.hamming(taps)
+    elif kind == "hanning":
+        win = np.hanning(taps)
+    elif kind == "boxcar":
+        win = np.ones(taps)
+    else:
+        raise ValueError(f"unknown window kind {kind!r}")
+    coeff = (sinc * win).astype(np.float32)
+    coeff /= coeff.sum() / ntap
+    return coeff.reshape(ntap, 2 * nchan)
+
+
+def required_ntime(nspec: int, nchan: int, ntap: int) -> int:
+    """ADC samples needed to produce ``nspec`` spectra."""
+    return (nspec + ntap - 1) * 2 * nchan
+
+
+@functools.partial(jax.jit, static_argnames=("nchan", "ntap"))
+def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
+                   ntap: int) -> jax.Array:
+    """Critically-sampled real-input PFB.
+
+    Args:
+      x: f32 ADC samples [ntime, ...] with
+        ntime == (nspec + ntap - 1) * 2 * nchan; trailing axes (e.g. input)
+        are carried through.
+      window: f32 [ntap, 2*nchan] prototype filter.
+      nchan: output channels (FFT length is 2*nchan real samples).
+      ntap: polyphase taps.
+
+    Returns:
+      complex64 [nspec, nchan, ...]: bins 0..nchan-1 of the rFFT (the
+      Nyquist bin is dropped, matching an nchan-channel F-engine).
+    """
+    L = 2 * nchan
+    ntime = x.shape[0]
+    if ntime % L:
+        raise ValueError("ntime must be a multiple of 2*nchan")
+    nframe = ntime // L
+    nspec = nframe - (ntap - 1)
+    if nspec <= 0:
+        raise ValueError("not enough samples for one spectrum")
+    tail = x.shape[1:]
+    frames = x.reshape((nframe, L) + tail)
+    # Stack ntap consecutive frames per output spectrum: [nspec, ntap, L, ...]
+    idx = jnp.arange(nspec)[:, None] + jnp.arange(ntap)[None, :]
+    tiles = frames[idx]
+    w = window.reshape((1, ntap, L) + (1,) * len(tail))
+    fir = jnp.sum(tiles * w, axis=1)          # [nspec, L, ...]
+    spec = jnp.fft.rfft(fir, axis=1)          # [nspec, nchan+1, ...]
+    return spec[:, :nchan].astype(jnp.complex64)
+
+
+def upchannelize(x: jax.Array, nup: int, axis_time: int = 0) -> jax.Array:
+    """Blockwise (zero-overlap) fine channelization.
+
+    Reshapes time into (time, fine_time=nup) frames, FFTs over the fine
+    axis and fftshifts so fine channel 0 is the most-negative offset —
+    the offline upchannelizer decomposition
+    (reference: lwa352-upchan-bf.py:94-97 over the 'fine_time' tensor axis).
+
+    Args:
+      x: complex [ntime, ...] post-F voltages (time on ``axis_time``).
+      nup: fine channels per coarse channel (NUPCHAN=32,
+        reference: blocks/beamform_offline_block.py).
+
+    Returns:
+      complex64 [ntime//nup, nup, ...]: coarse time x fine channel.
+    """
+    x = jnp.moveaxis(x, axis_time, 0)
+    ntime = x.shape[0]
+    if ntime % nup:
+        raise ValueError("ntime must be a multiple of nup")
+    frames = x.reshape((ntime // nup, nup) + x.shape[1:])
+    fine = jnp.fft.fft(frames, axis=1)
+    fine = jnp.fft.fftshift(fine, axes=1)
+    return fine.astype(jnp.complex64)
+
+
+def quantize_4bit(z: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Requantize complex voltages to packed 4+4-bit bytes.
+
+    The F-engine emits 4+4-bit complex ints; this closes the loop so the
+    PFB output can feed the packed-input correlator/beamformer path.
+    Rounds-to-nearest and saturates to [-8, 7].
+    """
+    from ..utils.codec import pack_jnp
+
+    re = jnp.clip(jnp.round(jnp.real(z) * scale), -8, 7).astype(jnp.int8)
+    im = jnp.clip(jnp.round(jnp.imag(z) * scale), -8, 7).astype(jnp.int8)
+    return pack_jnp(re, im)
+
+
+def pfb_reference_np(x: np.ndarray, window: np.ndarray, nchan: int,
+                     ntap: int) -> np.ndarray:
+    """Plain numpy reference implementation for tests."""
+    L = 2 * nchan
+    nframe = x.shape[0] // L
+    nspec = nframe - (ntap - 1)
+    tail = x.shape[1:]
+    frames = x.reshape((nframe, L) + tail)
+    out = np.empty((nspec, nchan) + tail, dtype=np.complex64)
+    w = window.reshape((ntap, L) + (1,) * len(tail))
+    for s in range(nspec):
+        fir = (frames[s:s + ntap] * w).sum(axis=0)
+        out[s] = np.fft.rfft(fir, axis=0)[:nchan]
+    return out

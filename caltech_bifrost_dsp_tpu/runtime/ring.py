@@ -1,0 +1,202 @@
+"""Host-side ring buffers with sequence semantics.
+
+The reference connects its 13 per-pipeline threads with Bifrost rings in
+system / pinned / GPU memory (reference: lwa352-pipeline.py:147-160; C++
+core characterized in SURVEY.md section 2.2).  On TPU the on-device stages
+are fused into one XLA program, so rings survive only at the host edges:
+
+- the capture staging ring between the ingest thread and the device feeder,
+- the deep trigger-history ring backing TriggeredDump,
+- output queues between the device and the packetizer threads.
+
+Semantics kept from Bifrost: a ring carries *sequences* (time_tag + JSON
+header + contiguous data stream); writers reserve spans and commit them;
+readers block ("guaranteed" mode backpressure, reference:
+block_base.py:38-40) or skip; late readers can open the earliest sequence
+still resident (reference: triggered_dump_block.py:218).  Ring capacity is
+rounded to a power of two like Bifrost's allocator
+(reference: copy_block.py:113-114).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _round_up_pow2(x: int) -> int:
+    return 1 << (int(x) - 1).bit_length()
+
+
+@dataclass
+class Sequence:
+    """One sequence: a header plus an ordered list of data spans."""
+    time_tag: int
+    header: dict
+    seq_id: int
+    ring: "Ring"
+    closed: bool = False
+    spans: list = field(default_factory=list)  # retained span payloads
+    start_byte: int = 0
+    nbyte: int = 0
+
+
+class Ring:
+    """A bounded FIFO of sequences of numpy spans.
+
+    Simpler than Bifrost's single mmap'd circular buffer: spans are retained
+    numpy blocks with a total-byte budget; blocking writes apply
+    backpressure exactly like guaranteed-mode reads.  The deep
+    trigger-history variant (:class:`HistoryRing`) keeps the byte-addressed
+    circular semantics needed for dumps.
+    """
+
+    def __init__(self, name: str, nbyte_budget: int = 1 << 28):
+        self.name = name
+        self.nbyte_budget = _round_up_pow2(nbyte_budget)
+        self._lock = threading.Condition()
+        self._sequences: list[Sequence] = []
+        self._nbyte = 0
+        self._seq_counter = 0
+        self._shutdown = False
+
+    # -- writer API ----------------------------------------------------------
+
+    def begin_sequence(self, time_tag: int, header: dict) -> Sequence:
+        with self._lock:
+            seq = Sequence(time_tag=time_tag, header=dict(header),
+                           seq_id=self._seq_counter, ring=self)
+            self._seq_counter += 1
+            self._sequences.append(seq)
+            self._lock.notify_all()
+            return seq
+
+    def write_span(self, seq: Sequence, data: np.ndarray,
+                   blocking: bool = True, timeout: float | None = None
+                   ) -> bool:
+        """Append a span; blocks while over budget (backpressure)."""
+        nbyte = data.nbytes
+        with self._lock:
+            if blocking:
+                ok = self._lock.wait_for(
+                    lambda: self._shutdown
+                    or self._nbyte + nbyte <= self.nbyte_budget,
+                    timeout=timeout)
+                if not ok or self._shutdown:
+                    return False
+            elif self._nbyte + nbyte > self.nbyte_budget:
+                return False
+            seq.spans.append(np.ascontiguousarray(data))
+            seq.nbyte += nbyte
+            self._nbyte += nbyte
+            self._lock.notify_all()
+            return True
+
+    def end_sequence(self, seq: Sequence) -> None:
+        with self._lock:
+            seq.closed = True
+            self._lock.notify_all()
+
+    def shutdown(self) -> None:
+        with self._lock:
+            self._shutdown = True
+            self._lock.notify_all()
+
+    # -- reader API ----------------------------------------------------------
+
+    def read(self, timeout: float | None = None):
+        """Generator over sequences as they appear (guaranteed mode)."""
+        idx = 0
+        while True:
+            with self._lock:
+                ok = self._lock.wait_for(
+                    lambda: self._shutdown or len(self._sequences) > idx,
+                    timeout=timeout)
+                if not ok or (self._shutdown and len(self._sequences) <= idx):
+                    return
+                seq = self._sequences[idx]
+            idx += 1
+            yield seq
+
+    def read_spans(self, seq: Sequence, timeout: float | None = None):
+        """Generator over a sequence's spans, blocking until closed.
+
+        Consumed spans are released from the byte budget (single-reader
+        accounting; multi-reader fan-out uses one Ring per consumer, the
+        fused-XLA analog of the reference's multi-reader gpu_input_ring,
+        lwa352-pipeline.py:232,279).
+        """
+        idx = 0
+        while True:
+            with self._lock:
+                ok = self._lock.wait_for(
+                    lambda: self._shutdown or seq.closed
+                    or len(seq.spans) > idx, timeout=timeout)
+                if not ok:
+                    return
+                if len(seq.spans) <= idx:
+                    if seq.closed or self._shutdown:
+                        return
+                    continue
+                span = seq.spans[idx]
+                seq.spans[idx] = None  # release retention
+                self._nbyte -= span.nbytes
+                self._lock.notify_all()
+            idx += 1
+            yield span
+
+
+class HistoryRing:
+    """Deep byte-addressed circular history buffer.
+
+    Backs the triggered-dump path: the reference keeps an N-GB pinned-host
+    ring of raw capture data and, on an operator trigger, walks it from the
+    earliest resident position to disk
+    (reference: lwa352-pipeline.py:204-213; triggered_dump_block.py:218-298).
+    """
+
+    def __init__(self, nbyte: int, frame_nbyte: int):
+        if nbyte % frame_nbyte:
+            nbyte -= nbyte % frame_nbyte
+        self.frame_nbyte = frame_nbyte
+        self.nframe = nbyte // frame_nbyte
+        if self.nframe < 1:
+            raise ValueError("history ring smaller than one frame")
+        self.buf = np.zeros((self.nframe, frame_nbyte), dtype=np.uint8)
+        self._lock = threading.Lock()
+        self.head = 0            # next frame slot to write
+        self.count = 0           # total frames ever written
+        self.header: dict = {}   # sequence header of the current stream
+        self.frame0_seq = 0      # spectra index of the first frame written
+
+    def set_header(self, header: dict, frame0_seq: int) -> None:
+        with self._lock:
+            self.header = dict(header)
+            self.frame0_seq = frame0_seq
+
+    def push(self, frame: np.ndarray) -> None:
+        data = frame.reshape(-1).view(np.uint8)
+        if data.nbytes != self.frame_nbyte:
+            raise ValueError("frame size mismatch")
+        with self._lock:
+            self.buf[self.head] = data
+            self.head = (self.head + 1) % self.nframe
+            self.count += 1
+
+    def earliest(self) -> int:
+        """Index (in frames-ever-written) of the earliest resident frame
+        (the ``open_earliest_sequence`` analog)."""
+        with self._lock:
+            return max(0, self.count - self.nframe)
+
+    def snapshot(self, start_frame: int, nframe: int) -> np.ndarray:
+        """Copy ``nframe`` frames beginning at absolute frame index
+        ``start_frame`` (must be resident)."""
+        with self._lock:
+            if start_frame < max(0, self.count - self.nframe) \
+                    or start_frame + nframe > self.count:
+                raise IndexError("requested frames not resident")
+            idx = (start_frame + np.arange(nframe)) % self.nframe
+            return self.buf[idx].copy()

@@ -1,0 +1,32 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path; bench.py runs on the real chip).
+"""
+
+import os
+
+# Force CPU: the session env may point JAX_PLATFORMS at the real TPU
+# tunnel, but tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable axon sitecustomize
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize (TPU tunnel) may have already forced
+# jax_platforms="axon,cpu" programmatically; override it before any
+# backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0xC0FFEE)

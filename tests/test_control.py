@@ -1,0 +1,127 @@
+"""Control-plane protocol tests (command envelope, validation codes,
+staging, response round-trip, simulated mode, monitoring bridge)."""
+
+import json
+
+import pytest
+
+from caltech_bifrost_dsp_tpu.control import client as ctl
+from caltech_bifrost_dsp_tpu.control.command import (COMMAND_INVALID,
+                                                     COMMAND_NOT_RECOGNIZED,
+                                                     COMMAND_OK,
+                                                     COMMAND_WRONG_TYPE,
+                                                     CommandBlock)
+from caltech_bifrost_dsp_tpu.control.monitor import MonitorBridge, render_text
+from caltech_bifrost_dsp_tpu.control.store import MemoryStore
+
+
+@pytest.fixture
+def store():
+    return MemoryStore()
+
+
+def make_block(store, **kw):
+    blk = CommandBlock("Corr", store=store, host="testhost", **kw)
+    blk.define_command_key("acc_len", type=int, initial_val=2400,
+                           condition=lambda x: x % 480 == 0)
+    blk.define_command_key("start_time", type=int, initial_val=0,
+                           condition=lambda x: x == -1 or x % 480 == 0)
+    return blk
+
+
+def test_command_roundtrip_and_staging(store):
+    blk = make_block(store)
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    resp = cli.send_command("testhost", 0, "Corr", blk.instance_id,
+                            acc_len=4800)
+    assert resp["status"] == "normal"
+    # staged, not applied
+    assert blk.command_vals["acc_len"] == 2400
+    assert blk.update_pending
+    blk.update_command_vals()
+    assert blk.command_vals["acc_len"] == 4800
+    assert not blk.update_pending
+
+
+def test_rejection_codes(store):
+    blk = make_block(store)
+    codes = []
+    # unknown key -> -1; wrong type -> -2; failed condition -> -3
+    for kwargs in ({"nope": 1}, {"acc_len": "x"}, {"acc_len": 7}):
+        blk.process_command_strings(json.dumps(
+            {"cmd": "update", "id": "1", "val": {"kwargs": kwargs}}))
+        codes.append(blk.stats["last_cmd_response"])
+    assert codes == [COMMAND_NOT_RECOGNIZED, COMMAND_WRONG_TYPE,
+                     COMMAND_INVALID]
+    blk.process_command_strings(json.dumps(
+        {"cmd": "update", "id": "1", "val": {"kwargs": {"acc_len": 960}}}))
+    assert blk.stats["last_cmd_response"] == COMMAND_OK
+
+
+def test_malformed_envelopes_get_error_responses(store):
+    blk = make_block(store)
+    for bad in ("not json",
+                json.dumps({"cmd": "update"}),               # missing id
+                json.dumps({"cmd": "bogus", "id": "1"}),     # bad cmd
+                json.dumps({"cmd": "update", "id": "1", "val": 3}),
+                json.dumps({"cmd": "update", "id": "1",
+                            "val": {"kwargs": 3}})):
+        blk.process_command_strings(bad)
+        resp = json.loads(store.get(blk.response_key))
+        assert resp["val"]["status"] == "error"
+
+
+def test_client_raises_on_rejicted_command(store):
+    blk = make_block(store)
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    with pytest.raises(RuntimeError):
+        cli.send_command("testhost", 0, "Corr", blk.instance_id, acc_len=7)
+
+
+def test_simulated_mode_matches_reference_shape():
+    cli = ctl.CorrControlClient(simulated=True)
+    raw = cli.send_command("h", 0, "Corr", 0, start_time=-1)
+    cmd = json.loads(raw)
+    assert cmd["cmd"] == "update"
+    assert cmd["val"]["kwargs"] == {"start_time": -1}
+    # and it can be injected straight into a block (the etcd-bypass path)
+    blk = make_block(MemoryStore())
+    blk.process_command_strings(raw)
+    blk.update_command_vals()
+    assert blk.command_vals["start_time"] == -1
+
+
+def test_apply_immediately_mode(store):
+    blk = make_block(store, apply_immediately=True)
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    cli.send_command("testhost", 0, "Corr", blk.instance_id, acc_len=9600)
+    assert blk.command_vals["acc_len"] == 9600  # no staging
+
+
+def test_corrcontrol_handle(store):
+    blk = make_block(store)
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    corr = ctl.CorrControl(cli, "testhost", 0, "Corr",
+                           instance_id=blk.instance_id)
+    corr.set_acc_length(4800)
+    blk.update_command_vals()
+    assert blk.command_vals["acc_len"] == 4800
+    with pytest.raises(AssertionError):
+        corr.set_acc_length(2400.0)  # non-int rejected client-side
+
+
+def test_monitor_bridge_and_dashboard(store):
+    blk = make_block(store)
+    blk.update_stats({"state": "running", "ngood_bytes": 0})
+    bridge = MonitorBridge(store, host="testhost")
+    bridge.publish_once()
+    blk.update_stats({"ngood_bytes": 10_000_000})
+    # fake elapsed time for rate derivation
+    for k in bridge._prev_bytes:
+        t, n = bridge._prev_bytes[k]
+        bridge._prev_bytes[k] = (t - 1.0, n)
+    out = bridge.publish_once()
+    (key, payload), = [(k, v) for k, v in out.items() if "Corr" in k]
+    assert payload["gbps"] > 0
+    txt = render_text(store)
+    assert "state=running" in txt

@@ -1,0 +1,74 @@
+import numpy as np
+import jax.numpy as jnp
+
+from caltech_bifrost_dsp_tpu.ops import pfb
+from caltech_bifrost_dsp_tpu.utils import codec
+
+NCHAN, NTAP = 64, 4
+
+
+def test_pfb_matches_numpy_reference(rng):
+    nspec = 6
+    ntime = pfb.required_ntime(nspec, NCHAN, NTAP)
+    x = rng.standard_normal([ntime, 3]).astype(np.float32)
+    win = pfb.pfb_window(NCHAN, NTAP)
+    got = np.asarray(pfb.pfb_channelize(jnp.asarray(x), jnp.asarray(win),
+                                        NCHAN, NTAP))
+    want = pfb.pfb_reference_np(x, win, NCHAN, NTAP)
+    assert got.shape == (nspec, NCHAN, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pfb_tone_lands_in_right_channel():
+    nspec = 8
+    ntime = pfb.required_ntime(nspec, NCHAN, NTAP)
+    k = 17  # channel index
+    fs = 1.0
+    t = np.arange(ntime)
+    x = np.cos(2 * np.pi * (k / (2 * NCHAN)) * fs * t).astype(np.float32)
+    win = pfb.pfb_window(NCHAN, NTAP)
+    spec = np.asarray(pfb.pfb_channelize(jnp.asarray(x[:, None]),
+                                         jnp.asarray(win), NCHAN, NTAP))
+    power = (np.abs(spec[:, :, 0]) ** 2).mean(axis=0)
+    assert power.argmax() == k
+    # channel isolation: neighbors at least 30 dB down beyond +-1 chan
+    others = np.delete(power, [k - 1, k, k + 1])
+    assert others.max() < power[k] * 1e-3
+
+
+def test_boxcar_single_tap_is_plain_fft(rng):
+    """ntap=1 boxcar PFB must reduce to a blockwise rFFT."""
+    nspec = 4
+    ntime = pfb.required_ntime(nspec, NCHAN, 1)
+    x = rng.standard_normal([ntime, 1]).astype(np.float32)
+    win = pfb.pfb_window(NCHAN, 1, kind="boxcar")
+    got = np.asarray(pfb.pfb_channelize(jnp.asarray(x), jnp.asarray(win),
+                                        NCHAN, 1))
+    frames = x.reshape(nspec, 2 * NCHAN) * win.reshape(1, 2 * NCHAN)
+    want = np.fft.rfft(frames, axis=1)[:, :NCHAN]
+    np.testing.assert_allclose(got[..., 0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_upchannelize_blockwise_fft(rng):
+    nup = 8
+    x = (rng.standard_normal([32, 3]) + 1j * rng.standard_normal([32, 3])
+         ).astype(np.complex64)
+    got = np.asarray(pfb.upchannelize(jnp.asarray(x), nup))
+    want = np.fft.fftshift(np.fft.fft(x.reshape(4, nup, 3), axis=1), axes=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_4bit_roundtrip_small_ints():
+    z = np.array([[1 + 2j, -8 - 8j, 7 + 7j, 0.4 - 0.4j]], dtype=np.complex64)
+    packed = np.asarray(pfb.quantize_4bit(jnp.asarray(z)))
+    re, im = codec.unpack_np(packed)
+    np.testing.assert_array_equal(re[0], [1, -8, 7, 0])
+    np.testing.assert_array_equal(im[0], [2, -8, 7, -0])
+
+
+def test_quantize_saturates():
+    z = np.array([[100 + 100j, -100 - 100j]], dtype=np.complex64)
+    packed = np.asarray(pfb.quantize_4bit(jnp.asarray(z)))
+    re, im = codec.unpack_np(packed)
+    np.testing.assert_array_equal(re[0], [7, -8])
+    np.testing.assert_array_equal(im[0], [7, -8])
