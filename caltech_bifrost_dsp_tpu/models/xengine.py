@@ -1,0 +1,156 @@
+"""The flagship model: one fused X-engine step.
+
+Where the reference splits the per-gulp compute across five GPU-owning
+threads joined by device rings (Corr -> CorrAcc / CorrSubsel and Beamform ->
+BeamformSumBeams, reference: lwa352-pipeline.py:232-294), the TPU build
+fuses the whole gulp into ONE jitted XLA program:
+
+    packed 4+4-bit gulp ──┬─ correlate ── fast acc ──┬─ subsel (+chan sum)
+                          │                          └─ slow acc
+                          └─ beamform ──┬─ dual-pol power integration
+                                        └─ VLBI voltage downselect
+
+Integration boundaries arrive as scalar flags from the host arming state
+machine (:mod:`..runtime.arming`), so the program itself stays control-flow
+free; accumulators live in an on-device carry (:class:`XEngineState`).
+Host<->device traffic per gulp is one packed-input H2D plus the small
+product outputs — the full fast visibility matrix never crosses to the host
+except on slow dumps, mirroring the reference's placement of CorrAcc/Subsel
+on the GPU (corr_acc_block.py:304-318, corr_subsel_block.py:298).
+
+An FX variant prepends the PFB channelizer + 4-bit requantization for raw
+ADC input (the BASELINE.json north star; the reference's channelizer is FPGA
+gateware outside its repo).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import XEngineConfig
+from ..ops import beamform as bf
+from ..ops import corr_subsel as cs
+from ..ops import correlate as corr
+from ..ops import pfb as pfb_ops
+from ..ops.correlate import Vis
+
+
+class XEngineState(NamedTuple):
+    vis_fast: Vis   # int32 [nchan, ninput, ninput] fast accumulator
+    vis_slow: Vis   # int32 [nchan, ninput, ninput] slow accumulator
+
+
+class XEngineOutputs(NamedTuple):
+    subsel: Vis          # int32 [nchan//nchan_sum, nvis_out] (valid on
+                         # fast-dump gulps)
+    bf_power: jax.Array  # f32 [nbeam//2, ntime_gulp//ntime_sum, nchan, 4]
+    vlbi: jax.Array      # f32 [ntime_gulp, nchan, 2, 2] beam-0 voltages
+
+
+def init_state(cfg: XEngineConfig) -> XEngineState:
+    return XEngineState(corr.zero_vis(cfg.nchan, cfg.ninput),
+                        corr.zero_vis(cfg.nchan, cfg.ninput))
+
+
+def xengine_step(state: XEngineState,
+                 packed: jax.Array,
+                 gains: bf.BeamGains,
+                 subsel_pairs: jax.Array,
+                 fast_first: jax.Array,
+                 fast_last: jax.Array,
+                 slow_first: jax.Array,
+                 cfg: XEngineConfig) -> tuple[XEngineState, XEngineOutputs]:
+    """Process one gulp.
+
+    Args:
+      state: device-resident accumulators.
+      packed: uint8 [ntime_gulp, nchan, ninput].
+      gains: beam gains planes [nchan, nbeam, ninput].
+      subsel_pairs: int32 [nvis_out, 2] baseline-selection input pairs.
+      fast_first: bool scalar — this gulp begins a fast accumulation
+        (overwrite instead of add; the reference's ``this_gulp_time ==
+        first``, corr_block.py:433).
+      fast_last: bool scalar — this gulp completes a fast accumulation
+        (the xGPU dump flag, corr_block.py:445); subsel output is valid and
+        the slow accumulator ingests the completed fast matrix.
+      slow_first: bool scalar — the completed fast dump begins a new slow
+        accumulation (CorrAcc ``BFMap("a = b")`` vs ``"a += b"``,
+        corr_acc_block.py:303-306).
+      cfg: static configuration.
+    """
+    vis_gulp = corr.correlate_gulp(packed)
+
+    def _sel(flag, a, b):
+        pred = jnp.asarray(flag, dtype=bool)
+        return Vis(jnp.where(pred, a.real, b.real),
+                   jnp.where(pred, a.imag, b.imag))
+
+    fast = _sel(fast_first, vis_gulp, state.vis_fast + vis_gulp)
+    slow_candidate = _sel(slow_first, fast, state.vis_slow + fast)
+    slow = _sel(fast_last, slow_candidate, state.vis_slow)
+
+    subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
+
+    beams = bf.beamform_gulp(packed, gains)
+    power = bf.beam_power_sum(beams, cfg.ntime_sum)
+    vlbi = bf.vlbi_voltage_select(beams, nbeam_out=2)
+
+    return (XEngineState(fast, slow),
+            XEngineOutputs(subsel, power, vlbi))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def xengine_step_jit(state, packed, gains, subsel_pairs, fast_first,
+                     fast_last, slow_first, cfg: XEngineConfig):
+    return xengine_step(state, packed, gains, subsel_pairs, fast_first,
+                        fast_last, slow_first, cfg)
+
+
+def fx_step(state: XEngineState,
+            adc: jax.Array,
+            window: jax.Array,
+            quant_scale: jax.Array,
+            gains: bf.BeamGains,
+            subsel_pairs: jax.Array,
+            fast_first, fast_last, slow_first,
+            cfg: XEngineConfig) -> tuple[XEngineState, XEngineOutputs]:
+    """FX variant: raw ADC samples -> PFB -> 4-bit requant -> X/B step.
+
+    Args:
+      adc: f32 [(ntime_gulp + pfb_ntap - 1) * 2 * nchan, ninput] real ADC
+        samples (overlap of ntap-1 frames with the previous gulp — the
+        halo that time-sharded operation exchanges between shards).
+      window: f32 [pfb_ntap, 2*nchan] PFB prototype filter.
+      quant_scale: f32 scalar requantization gain.
+    """
+    spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan, cfg.pfb_ntap)
+    packed = pfb_ops.quantize_4bit(spec, quant_scale)  # [ntime, nchan, nin]
+    return xengine_step(state, packed, gains, subsel_pairs, fast_first,
+                        fast_last, slow_first, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fx_step_jit(state, adc, window, quant_scale, gains, subsel_pairs,
+                fast_first, fast_last, slow_first, cfg: XEngineConfig):
+    return fx_step(state, adc, window, quant_scale, gains, subsel_pairs,
+                   fast_first, fast_last, slow_first, cfg)
+
+
+def default_inputs(cfg: XEngineConfig, seed: int = 0):
+    """Convenience: state + example inputs for compile checks and benches."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    packed = jnp.asarray(rng.randint(
+        0, 255, [cfg.ntime_gulp, cfg.nchan, cfg.ninput]).astype(np.uint8))
+    gains = bf.BeamGains(
+        jnp.ones((cfg.nchan, cfg.nbeam, cfg.ninput), jnp.float32),
+        jnp.zeros((cfg.nchan, cfg.nbeam, cfg.ninput), jnp.float32))
+    pairs = jnp.asarray(cs.baselines_to_inputs(
+        cs.default_baselines(cfg.nvis_out, cfg.nstand), cfg.npol
+    ).astype(np.int32))
+    return init_state(cfg), packed, gains, pairs

@@ -1,0 +1,209 @@
+"""Device-mesh sharding of the F/X/B pipeline.
+
+The reference scales out with 32 *share-nothing* pipelines, each owning
+192 of 6144 channels — the F->X corner-turn is done by FPGAs and an
+Ethernet switch before the data ever reaches software
+(reference: lwa352-pipeline.py:164-180, SURVEY.md section 2.3).  On a TPU
+mesh the corner-turn and the new shardings become XLA collectives:
+
+- axis ``time``  — sequence parallelism: ADC time blocks are sharded;
+  the PFB's (ntap-1)-frame overlap is exchanged between neighboring shards
+  with ``ppermute`` (overlap-save halo); visibility partial sums over time
+  reduce with ``psum``.
+- axis ``chan`` — the reference's frequency sharding.  Before the
+  correlator, the channelizer output is *input*-sharded over this axis, and
+  one ``all_to_all`` performs the F->X corner-turn
+  (input-sharded -> channel-sharded), the on-mesh equivalent of the
+  FPGA/switch corner-turn.
+
+Everything is expressed with ``shard_map`` over a ``jax.sharding.Mesh`` so
+XLA schedules the collectives over ICI; no NCCL/MPI-style code exists
+anywhere in the framework.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import XEngineConfig
+from ..ops import beamform as bf
+from ..ops import corr_subsel as cs
+from ..ops import correlate as corr
+from ..ops import pfb as pfb_ops
+from ..ops.correlate import Vis
+
+shard_map = jax.shard_map
+
+
+def make_mesh(n_time: int = 1, n_chan: int | None = None,
+              devices=None) -> Mesh:
+    """Build a ('time', 'chan') mesh over the given (or all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_chan is None:
+        if len(devices) % n_time:
+            raise ValueError("device count not divisible by n_time")
+        n_chan = len(devices) // n_time
+    devices = devices[:n_time * n_chan]
+    arr = np.array(devices).reshape(n_time, n_chan)
+    return Mesh(arr, axis_names=("time", "chan"))
+
+
+class FxOutputs(NamedTuple):
+    vis: Vis             # int32 [nchan, ninput, ninput] (chan-sharded)
+    subsel: Vis          # int32 [nchan // nchan_sum, nvis_out]
+    bf_power: jax.Array  # f32 [nbeam//2, nblock_total, nchan, 4]
+                         # (time- and chan-sharded)
+
+
+def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
+                   ntap: int, axis: str) -> jax.Array:
+    """Overlap-save PFB across time shards.
+
+    Each shard prepends the (ntap-1) boundary frames of its left neighbor
+    (``ppermute`` ring shift; shard 0 gets zeros), so every shard emits
+    exactly ``T_local / (2*nchan)`` spectra and the concatenation equals the
+    unsharded PFB of the full stream (modulo shard 0's zero-padded
+    startup transient).
+    """
+    L = 2 * nchan
+    halo_n = (ntap - 1) * L
+    if halo_n == 0:
+        return pfb_ops.pfb_channelize(adc_local, window, nchan, ntap)
+    n_shard = jax.lax.axis_size(axis)
+    tail = adc_local[-halo_n:]
+    perm = [(i, (i + 1) % n_shard) for i in range(n_shard)]
+    halo = jax.lax.ppermute(tail, axis, perm)
+    # Shard 0 received shard N-1's tail (wrap-around); replace with zeros.
+    is_first = jax.lax.axis_index(axis) == 0
+    halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
+    adc_ext = jnp.concatenate([halo, adc_local], axis=0)
+    return pfb_ops.pfb_channelize(adc_ext, window, nchan, ntap)
+
+
+def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
+    """Build the sharded FX+B step over ``mesh``.
+
+    Global shapes:
+      adc:    f32 [ntime_total, ninput]  — sharded [time, chan(inputs)]
+      window: f32 [ntap, 2*nchan]        — replicated
+      gains:  BeamGains [nchan, nbeam, ninput] — chan-sharded
+      pairs:  int32 [nvis_out, 2]        — replicated
+
+    Per-shard flow: PFB (halo via ppermute along 'time') -> all_to_all
+    corner-turn along 'chan' (input-sharded -> chan-sharded) -> 4-bit
+    requant -> correlate (+psum over 'time') -> subsel; beamform + power
+    integration stay time-sharded.
+    """
+    n_time = mesh.shape["time"]
+    n_chan_shards = mesh.shape["chan"]
+    if cfg.ninput % n_chan_shards or cfg.nchan % n_chan_shards:
+        raise ValueError("ninput and nchan must divide the chan axis")
+    if (cfg.nchan // n_chan_shards) % cfg.nchan_sum:
+        raise ValueError("per-shard channel count must be a multiple of "
+                         "nchan_sum (shard-local subsel channel averaging)")
+
+    def shard_fn(adc_local, window, gains_r, gains_i, pairs, quant_scale):
+        # adc_local: [T_local, ninput / n_chan_shards]
+        spec = _pfb_with_halo(adc_local, window, cfg.nchan, cfg.pfb_ntap,
+                              "time")                    # [S, nchan, nin_l]
+        # F->X corner-turn: split channels, gather inputs.
+        if n_chan_shards > 1:
+            spec = jax.lax.all_to_all(spec, "chan", split_axis=1,
+                                      concat_axis=2, tiled=True)
+        packed = pfb_ops.quantize_4bit(spec, quant_scale)  # [S, nchan_l, ni]
+        vis_part = corr.correlate_gulp(packed)
+        vis = Vis(jax.lax.psum(vis_part.real, "time"),
+                  jax.lax.psum(vis_part.imag, "time"))
+        subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+        power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        return (vis.real, vis.imag, subsel.real, subsel.imag, power)
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("time", "chan"),       # adc
+                  P(),                     # window
+                  P("chan", None, None),   # gains planes (chan-sharded)
+                  P("chan", None, None),
+                  P(),                     # pairs
+                  P()),                    # quant scale
+        out_specs=(P("chan", None, None),  # vis planes (time-replicated)
+                   P("chan", None, None),
+                   P("chan", None),        # subsel planes
+                   P("chan", None),
+                   P(None, "time", "chan", None)),  # beam powers
+        check_vma=False)
+
+    def fn(adc, window, gains: bf.BeamGains, pairs, quant_scale):
+        vr, vi, sr, si, power = mapped(adc, window, gains.real, gains.imag,
+                                       pairs, quant_scale)
+        return FxOutputs(Vis(vr, vi), Vis(sr, si), power)
+
+    return fn
+
+
+def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
+    """Channel-parallel fused X/B step for post-F packed input — the
+    direct analog of the reference's share-nothing frequency sharding
+    (plus a time axis contributing visibility partial sums via psum).
+
+    Global shapes: packed uint8 [ntime, nchan, ninput] sharded
+    [time, chan, -]; gains chan-sharded; outputs chan-sharded.
+    """
+    def shard_fn(packed, gains_r, gains_i, pairs):
+        vis_part = corr.correlate_gulp(packed)
+        vis = Vis(jax.lax.psum(vis_part.real, "time"),
+                  jax.lax.psum(vis_part.imag, "time"))
+        subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+        power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        return (vis.real, vis.imag, subsel.real, subsel.imag, power)
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("time", "chan", None),
+                  P("chan", None, None), P("chan", None, None), P()),
+        out_specs=(P("chan", None, None), P("chan", None, None),
+                   P("chan", None), P("chan", None),
+                   P(None, "time", "chan", None)),
+        check_vma=False)
+
+    def fn(packed, gains: bf.BeamGains, pairs):
+        vr, vi, sr, si, power = mapped(packed, gains.real, gains.imag,
+                                       pairs)
+        return FxOutputs(Vis(vr, vi), Vis(sr, si), power)
+
+    return fn
+
+
+def fx_reference_unsharded(cfg: XEngineConfig, adc, window, gains, pairs,
+                           quant_scale, n_time_shards: int = 1):
+    """Single-device reference of the sharded program, reproducing the
+    shard-0 zero-halo startup transient per time shard (for equality
+    tests)."""
+    ntime = adc.shape[0]
+    t_local = ntime // n_time_shards
+    specs = []
+    L = 2 * cfg.nchan
+    halo_n = (cfg.pfb_ntap - 1) * L
+    for s in range(n_time_shards):
+        lo = s * t_local
+        chunk = adc[lo:lo + t_local]
+        halo = (jnp.zeros((halo_n,) + adc.shape[1:], adc.dtype)
+                if s == 0 else adc[lo - halo_n:lo])
+        ext = jnp.concatenate([halo, chunk], axis=0)
+        specs.append(pfb_ops.pfb_channelize(ext, window, cfg.nchan,
+                                            cfg.pfb_ntap))
+    spec = jnp.concatenate(specs, axis=0)
+    packed = pfb_ops.quantize_4bit(spec, quant_scale)
+    vis = corr.correlate_gulp(packed)
+    subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+    beams = bf.beamform_gulp(packed, gains)
+    power = bf.beam_power_sum(beams, cfg.ntime_sum)
+    return FxOutputs(vis, subsel, power)
