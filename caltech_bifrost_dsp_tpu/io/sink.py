@@ -1,0 +1,312 @@
+"""Product sinks: correlation/beam packet emitters, disk writers and the
+triggered voltage dump.
+
+Parity targets:
+- CorrOutputFull: one dual-pol baseline per packet over the upper triangle,
+  Mbps throttling every ~1 MB, optional golden-file equality check
+  (reference: blocks/corr_output_full_block.py:439-603).
+- CorrOutputPart: bursts of ``nvis_per_packet`` subselected visibilities
+  with the baseline map in each header
+  (reference: blocks/corr_output_part_block.py).
+- BeamformOutput: per-beam PBEAM streams with per-beam destinations
+  (reference: blocks/beamform_output_block.py:248-300).
+- BeamformVlbiOutput: IBEAM voltage packets, burst-throttled to 0.6 Gb/s
+  (reference: blocks/beamform_vlbi_output_block.py:202-275).
+- TriggeredDump: deep-history ring -> self-describing dump files
+  (reference: blocks/triggered_dump_block.py:131-298).
+
+A destination of ``"0.0.0.0"`` disables emission, as in the reference.
+Writers take a ``send`` callable (socket.sendto by default) so tests can
+capture packets without a network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+
+import numpy as np
+
+from ..utils.proclog import PerfTimer
+from . import packets as pk
+
+
+class Throttle:
+    """Token-style rate cap: sleep after every ~1 MB block when over rate
+    (corr_output_full_block.py:462-473)."""
+
+    def __init__(self, max_bps: float | None, block_bits: int = 8_000_000):
+        self.max_bps = max_bps
+        self.block_bits = block_bits
+        self._bits = 0
+        self._t0 = time.monotonic()
+
+    def account(self, nbits: int) -> None:
+        if not self.max_bps or self.max_bps <= 0:
+            return
+        self._bits += nbits
+        if self._bits >= self.block_bits:
+            elapsed = time.monotonic() - self._t0
+            min_time = self._bits / self.max_bps
+            if min_time > elapsed:
+                time.sleep(min_time - elapsed)
+            self._t0 = time.monotonic()
+            self._bits = 0
+
+
+class UdpSender:
+    def __init__(self, dest_ip: str, dest_port: int):
+        self.dest = (dest_ip, dest_port)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def __call__(self, payload: bytes) -> None:
+        self.sock.sendto(payload, self.dest)
+
+
+class CorrFullOutput:
+    """Emit a slow-dump visibility matrix as full-correlation packets."""
+
+    def __init__(self, cfg, send=None, max_mbps: int = -1,
+                 checkfile: str | None = None, checkfile_acc_len: int = 0):
+        self.cfg = cfg
+        self.send = send
+        self.throttle = Throttle(max_mbps * 1e6 if max_mbps > 0 else None)
+        self.perf = PerfTimer()
+        self.checkfile = checkfile
+        self.checkfile_acc_len = checkfile_acc_len
+        self._checkdata = None
+        self.check_failures = 0
+        self.check_count = 0
+
+    def _load_checkfile_corr(self, t_index: int) -> np.ndarray:
+        """One golden integration, looping the file
+        (corr_output_full_block.py:get_checkfile_corr)."""
+        cfg = self.cfg
+        dim = (cfg.nchan, cfg.nstand, cfg.nstand, cfg.npol, cfg.npol)
+        nbyte = int(np.prod(dim)) * 16
+        fsize = os.path.getsize(self.checkfile)
+        with open(self.checkfile, "rb") as fh:
+            # skip the one-line JSON header if present
+            first = fh.readline()
+            base = len(first) if first.startswith(b"{") else 0
+            payload = fsize - base
+            fh.seek(base + (nbyte * t_index) % payload)
+            raw = fh.read(nbyte)
+        return np.frombuffer(raw, np.complex128).reshape(dim)
+
+    def check_against_file(self, vis_dense: np.ndarray, acc_len: int,
+                           t_index: int) -> bool:
+        """Integrate the golden file up to ``acc_len`` and compare exactly
+        (corr_output_full_block.py:550-603 / test_corr_full_rx.py:43-56
+        repetition arithmetic)."""
+        assert acc_len % self.checkfile_acc_len == 0
+        nrep = acc_len // self.checkfile_acc_len
+        t0 = t_index * nrep
+        want = sum(self._load_checkfile_corr(t0 + i) for i in range(nrep))
+        cfg = self.cfg
+        g = want.transpose(0, 1, 3, 2, 4).reshape(cfg.nchan, cfg.ninput,
+                                                  cfg.ninput)
+        ok = bool(np.array_equal(vis_dense, g))
+        self.check_count += 1
+        if not ok:
+            self.check_failures += 1
+        return ok
+
+    def send_matrix(self, vis_dense: np.ndarray, sync_time: int,
+                    spectra_id: int, acc_len: int) -> int:
+        """Packetize the upper triangle, one dual-pol baseline per packet.
+        Returns packets sent."""
+        if self.send is None:
+            return 0
+        cfg = self.cfg
+        self.perf.tick()
+        v = vis_dense.reshape(cfg.nchan, cfg.nstand, cfg.npol, cfg.nstand,
+                              cfg.npol)
+        npkt = 0
+        for s0 in range(cfg.nstand):
+            block = v[:, s0, :, s0:, :]  # [chan, p0, nstand-s0, p1]
+            for j in range(block.shape[2]):
+                z = block[:, :, j, :]           # [chan, p0, p1]
+                data = np.empty((cfg.npol, cfg.npol, cfg.nchan, 2),
+                                np.int32)
+                zz = np.transpose(z, (1, 2, 0))  # [p0, p1, chan]
+                data[..., 0] = zz.real
+                data[..., 1] = zz.imag
+                hdr = pk.CorrFullHeader(
+                    sync_time=sync_time, spectra_id=spectra_id,
+                    bw_hz=cfg.nchan * cfg.chan_bw_hz,
+                    sfreq_hz=cfg.sfreq_hz, acc_len=acc_len,
+                    nchans=cfg.nchan, chan0=cfg.chan0, npols=cfg.npol,
+                    stand0=s0, stand1=s0 + j)
+                pkt = pk.encode_corr_full(hdr, data)
+                self.send(pkt)
+                self.throttle.account(8 * len(pkt))
+                npkt += 1
+        self.perf.mark_process(npkt * (56 + cfg.npol * cfg.npol
+                                       * cfg.nchan * 8))
+        return npkt
+
+
+class CorrPartOutput:
+    """Emit subselected visibilities, nvis_per_packet per packet
+    (corr_output_part_block.py:346-364)."""
+
+    def __init__(self, cfg, send=None, nvis_per_packet: int = 16,
+                 max_mbps: int = -1):
+        self.cfg = cfg
+        self.send = send
+        self.nvis_per_packet = nvis_per_packet
+        self.throttle = Throttle(max_mbps * 1e6 if max_mbps > 0 else None)
+
+    def send_subsel(self, subsel_re: np.ndarray, subsel_im: np.ndarray,
+                    baselines: np.ndarray, sync_time: int, spectra_id: int,
+                    acc_len: int) -> int:
+        if self.send is None:
+            return 0
+        cfg = self.cfg
+        nchan_out, nvis = subsel_re.shape
+        bl = np.asarray(baselines, np.uint32)
+        npkt = 0
+        from ..ops.corr_subsel import subsel_output_sfreq
+
+        sfreq = subsel_output_sfreq(cfg.sfreq_hz,
+                                    cfg.nchan * cfg.chan_bw_hz,
+                                    cfg.nchan, cfg.nchan_sum)
+        for v0 in range(0, nvis, self.nvis_per_packet):
+            v1 = min(v0 + self.nvis_per_packet, nvis)
+            data = np.empty((v1 - v0, nchan_out, 2), np.int32)
+            data[..., 0] = subsel_re[:, v0:v1].T
+            data[..., 1] = subsel_im[:, v0:v1].T
+            hdr = pk.CorrPartHeader(
+                sync_time=sync_time, spectra_id=spectra_id,
+                bw_hz=cfg.nchan * cfg.chan_bw_hz, sfreq_hz=sfreq,
+                acc_len=acc_len, nvis=v1 - v0, nchans=nchan_out,
+                chan0=cfg.chan0 // cfg.nchan_sum)
+            pkt = pk.encode_corr_part(hdr, bl[v0:v1], data)
+            self.send(pkt)
+            self.throttle.account(8 * len(pkt))
+            npkt += 1
+        return npkt
+
+
+class PBeamOutput:
+    """Per-beam PBEAM streams; one packet per time sample per beam."""
+
+    def __init__(self, cfg, senders: dict[int, object] | None = None,
+                 pipeline_idx: int = 1):
+        self.cfg = cfg
+        self.senders = senders or {}
+        self.pipeline_idx = pipeline_idx
+
+    def send_powers(self, power: np.ndarray, seq0: int,
+                    navg: int) -> int:
+        """power: f32 [nbeam//2, nblock, nchan, 4]."""
+        cfg = self.cfg
+        npkt = 0
+        nbeam2, nblock, nchan, _ = power.shape
+        for b, send in self.senders.items():
+            for t in range(nblock):
+                hdr = pk.PBeamHeader(
+                    server=self.pipeline_idx, beam=b + 1, gbe=0,
+                    nchan=nchan, nbeam=1, nserver=cfg.npipeline,
+                    navg=navg, chan0=cfg.chan0,
+                    seq=seq0 + t * navg)
+                send(pk.encode_pbeam(hdr, power[b, t][:, None, :]))
+                npkt += 1
+        return npkt
+
+
+class IBeamOutput:
+    """VLBI voltage-beam stream, burst-throttled
+    (beamform_vlbi_output_block.py:202-275)."""
+
+    MAX_BPS = 0.6e9
+
+    def __init__(self, cfg, send=None, pipeline_idx: int = 1,
+                 npacket_burst: int = 32):
+        self.cfg = cfg
+        self.send = send
+        self.pipeline_idx = pipeline_idx
+        self.throttle = Throttle(self.MAX_BPS,
+                                 block_bits=npacket_burst * 8 * 1500)
+
+    def send_voltages(self, vlbi: np.ndarray, seq0: int) -> int:
+        """vlbi: f32 [ntime, nchan, nbeam, 2] (from vlbi_voltage_select)."""
+        if self.send is None:
+            return 0
+        ntime, nchan, nbeam, _ = vlbi.shape
+        npkt = 0
+        for t in range(ntime):
+            hdr = pk.IBeamHeader(server=self.pipeline_idx, gbe=0,
+                                 nchan=nchan, nbeam=nbeam,
+                                 nserver=self.cfg.npipeline,
+                                 chan0=self.cfg.chan0, seq=seq0 + t)
+            pkt = pk.encode_ibeam(hdr, vlbi[t])
+            self.send(pkt)
+            self.throttle.account(8 * len(pkt))
+            npkt += 1
+        return npkt
+
+
+class TriggeredDump:
+    """Dump the deep history ring to self-describing files.
+
+    File = 8-byte little-endian total-size prefix + JSON header padded into
+    a 1 MB block + raw frames (triggered_dump_block.py:131-151, 176-179,
+    264-268); commands trigger/abort/stop with ntime_per_file / nfile /
+    dump_path (164-169); reads start at the earliest resident frame (218).
+    """
+
+    HEADER_BLOCK = 1024 * 1024
+
+    def __init__(self, history_ring, dump_path: str = ".",
+                 file_prefix: str = "lwa-dump"):
+        self.ring = history_ring
+        self.dump_path = dump_path
+        self.file_prefix = file_prefix
+        self.abort_requested = False
+
+    def trigger(self, ntime_per_file: int, nfile: int = 1,
+                dump_path: str | None = None) -> list[str]:
+        path = dump_path or self.dump_path
+        files = []
+        start = self.ring.earliest()
+        frames_per_time = 1  # one ring frame per time sample
+        for i in range(nfile):
+            if self.abort_requested:
+                break
+            lo = start + i * ntime_per_file * frames_per_time
+            n = ntime_per_file * frames_per_time
+            if lo + n > self.ring.count:
+                n = self.ring.count - lo
+            if n <= 0:
+                break
+            data = self.ring.snapshot(lo, n)
+            hdr = dict(self.ring.header)
+            hdr.update({"ntime": n,
+                        "seq0": self.ring.frame0_seq + lo,
+                        "dump_index": i})
+            fname = os.path.join(
+                path, "%s_%d_%d.tbf" % (self.file_prefix,
+                                        hdr.get("seq0", 0), i))
+            self._write_file(fname, hdr, data)
+            files.append(fname)
+        self.abort_requested = False
+        return files
+
+    def _write_file(self, fname: str, header: dict, data: np.ndarray
+                    ) -> None:
+        hdr_json = json.dumps(header).encode()
+        if len(hdr_json) > self.HEADER_BLOCK - 8:
+            raise ValueError("header too large")
+        total = self.HEADER_BLOCK + data.nbytes
+        with open(fname, "wb") as fh:
+            fh.write(total.to_bytes(8, "little"))
+            fh.write(hdr_json)
+            fh.write(b"\x00" * (self.HEADER_BLOCK - 8 - len(hdr_json)))
+            fh.write(data.tobytes())
+
+    def abort(self) -> None:
+        self.abort_requested = True

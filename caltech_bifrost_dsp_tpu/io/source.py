@@ -1,0 +1,223 @@
+"""Input sources: synthetic generator (DummySource parity), golden-file
+replay, triggered-dump replay, and a UDP snap2 capture.
+
+The reference's testing-first ingest path is DummySource (ramp / test-file
+data with Gb/s throttling and a ``skip_write`` mode for downstream
+benchmarking, reference: blocks/dummy_source_block.py) and TriggerReplay
+(re-ingesting TriggeredDump files, reference: blocks/trigger_source_block.py);
+production ingest is the C packet capture
+(reference: blocks/capture_block.py).  All of them emit sequences whose
+JSON headers carry the fields built by ``Capture.seq_callback``
+(capture_block.py:262-292).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from ..config import XEngineConfig
+from ..verification import golden
+
+
+def sequence_header(cfg: XEngineConfig, seq0: int, sync_time: int = 0,
+                    time_tag: int = 1, chan0: int | None = None) -> dict:
+    """The capture sequence header (capture_block.py:262-292)."""
+    chan0 = cfg.chan0 if chan0 is None else chan0
+    return {
+        "time_tag": time_tag,
+        "sync_time": sync_time,
+        "seq0": seq0,
+        "chan0": chan0,
+        "nchan": cfg.nchan,
+        "system_nchan": cfg.system_nchan,
+        "fs_hz": cfg.fs_hz,
+        "sfreq": chan0 * cfg.chan_bw_hz,
+        "bw_hz": cfg.nchan * cfg.chan_bw_hz,
+        "nstand": cfg.nstand,
+        "pipeline_id": cfg.pipeline_id,
+        "npol": cfg.npol,
+        "complex": True,
+        "nbit": 4,
+    }
+
+
+class DummySource:
+    """Synthetic gulp generator with throughput throttling.
+
+    Parity with reference: blocks/dummy_source_block.py — modes:
+    ``ramp`` (byte counter), ``testfile`` (loops a golden input file,
+    get_testfile_gulp:207), ``random``; ``target_throughput`` caps emission
+    in Gb/s (lines 275-283); ``skip_write`` emits zero-filled buffers
+    without generation cost for downstream benchmarking (lines 130-135).
+    """
+
+    def __init__(self, cfg: XEngineConfig, mode: str = "ramp",
+                 testfile: str | None = None, seed: int = 0xdeadbeef,
+                 target_throughput_gbps: float = 1000.0,
+                 skip_write: bool = False):
+        self.cfg = cfg
+        self.mode = mode
+        self.skip_write = skip_write
+        self.target_gbps = target_throughput_gbps
+        self._rng = np.random.RandomState(seed)
+        self._testdata = None
+        self._test_ntime = 0
+        if mode == "testfile":
+            if testfile is None:
+                raise ValueError("testfile mode needs a path")
+            meta, data = golden.read_dat(testfile)
+            ntime, nchan, nstand, npol = meta["shape"]
+            if nchan < cfg.nchan or nstand < cfg.nstand:
+                raise ValueError("test file smaller than configured system")
+            self._testdata = data[:, :cfg.nchan, :cfg.nstand, :cfg.npol] \
+                .reshape(ntime, cfg.nchan, cfg.nstand * cfg.npol)
+            self._test_ntime = ntime
+        self._emitted_bits = 0
+        self._t_start = None
+
+    def header(self, seq0: int = 0, **kw) -> dict:
+        return sequence_header(self.cfg, seq0, **kw)
+
+    def get_testfile_gulp(self, t: int) -> np.ndarray:
+        """Loop the test file in gulp-sized chunks (dummy_source_block.py:207).
+        """
+        g = self.cfg.ntime_gulp
+        lo = (t * g) % self._test_ntime
+        out = np.empty((g, self.cfg.nchan, self.cfg.ninput), np.uint8)
+        done = 0
+        while done < g:
+            n = min(g - done, self._test_ntime - lo)
+            out[done:done + n] = self._testdata[lo:lo + n]
+            done += n
+            lo = (lo + n) % self._test_ntime
+        return out
+
+    def gulp(self, index: int) -> np.ndarray:
+        """Produce gulp ``index`` (uint8 [ntime_gulp, nchan, ninput]),
+        throttled to target_throughput."""
+        cfg = self.cfg
+        shape = (cfg.ntime_gulp, cfg.nchan, cfg.ninput)
+        if self.skip_write:
+            data = np.zeros(shape, np.uint8)
+        elif self.mode == "ramp":
+            n = int(np.prod(shape))
+            start = index * n
+            data = ((start + np.arange(n)) & 0xFF).astype(np.uint8) \
+                .reshape(shape)
+        elif self.mode == "testfile":
+            data = self.get_testfile_gulp(index)
+        elif self.mode == "random":
+            data = self._rng.randint(0, 255, shape, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+        # Throttle (dummy_source_block.py:275-283)
+        now = time.monotonic()
+        if self._t_start is None:
+            self._t_start = now
+        self._emitted_bits += 8 * data.nbytes
+        min_elapsed = self._emitted_bits / (self.target_gbps * 1e9)
+        sleep = min_elapsed - (now - self._t_start)
+        if sleep > 0:
+            time.sleep(sleep)
+        return data
+
+    def stream(self, ngulp: int, seq0: int = 0):
+        """Yield (this_gulp_time, gulp) pairs."""
+        for i in range(ngulp):
+            yield seq0 + i * self.cfg.ntime_gulp, self.gulp(i)
+
+
+class TriggerFileSource:
+    """Replay a TriggeredDump file as a sequence
+    (reference: blocks/trigger_source_block.py:73 TriggerReplay).
+
+    File layout (triggered_dump_block.py:131-151): 8-byte little-endian
+    total-size prefix, JSON header padded to 1 MB, then raw ring frames.
+    """
+
+    HEADER_BLOCK = 1024 * 1024
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as fh:
+            size = int.from_bytes(fh.read(8), "little")
+            raw = fh.read(self.HEADER_BLOCK - 8)
+            self.header = json.loads(raw.split(b"\x00", 1)[0].decode())
+            self.payload_nbyte = size - self.HEADER_BLOCK
+
+    def read(self) -> tuple[dict, np.ndarray]:
+        with open(self.path, "rb") as fh:
+            fh.seek(self.HEADER_BLOCK)
+            data = np.frombuffer(fh.read(self.payload_nbyte), np.uint8)
+        h = self.header
+        shape = (h["ntime"], h["nchan"], h["nstand"] * h["npol"])
+        return h, data.reshape(shape)
+
+    def gulps(self, ntime_gulp: int):
+        h, data = self.read()
+        seq0 = h.get("seq0", 0)
+        for g in range(data.shape[0] // ntime_gulp):
+            yield (seq0 + g * ntime_gulp,
+                   data[g * ntime_gulp:(g + 1) * ntime_gulp])
+
+
+class UdpSnap2Source:
+    """Socket-based snap2 packet capture reassembling gulps.
+
+    The software fallback of the reference's C UDPCapture/UDPVerbsCapture
+    engine (capture_block.py:180-189): packets for the same ``seq`` are
+    placed at [time, chan_block, pol_block]; a new sequence starts on
+    timestamp discontinuity.  (The high-rate native path lives in
+    ``native/``; this pure-Python version serves tests and low-rate use.)
+    """
+
+    def __init__(self, cfg: XEngineConfig, sock, ntime_gulp: int | None = None,
+                 timeout_s: float = 5.0):
+        from . import packets as pk
+
+        self.cfg = cfg
+        self.sock = sock
+        self.pk = pk
+        self.ntime_gulp = ntime_gulp or cfg.ntime_gulp
+        self.timeout_s = timeout_s
+        sock.settimeout(timeout_s)
+        self._pending: dict[int, np.ndarray] = {}
+        self._filled: dict[int, int] = {}
+        self.ngood_bytes = 0
+        self.nmissing = 0
+
+    def capture_gulp(self, seq_start: int) -> np.ndarray:
+        """Blocking: assemble the gulp covering [seq_start, seq_start+g).
+        Missing packets are left as zeros (counted in ``nmissing``)."""
+        cfg = self.cfg
+        g = self.ntime_gulp
+        buf = np.zeros((g, cfg.nchan, cfg.ninput), np.uint8)
+        expected = None
+        got = 0
+        deadline = time.monotonic() + self.timeout_s
+        while time.monotonic() < deadline:
+            try:
+                pkt = self.sock.recv(65536)
+            except OSError:
+                break
+            hdr, payload = self.pk.decode_snap2(pkt)
+            if expected is None:
+                npkt_per_time = ((cfg.nchan // hdr.nchan)
+                                 * (cfg.ninput // hdr.npol))
+                expected = npkt_per_time * g
+            t = hdr.seq - seq_start
+            if not 0 <= t < g:
+                continue
+            c0 = hdr.chan_block_id * hdr.nchan
+            buf[t, c0:c0 + hdr.nchan,
+                hdr.pol0:hdr.pol0 + hdr.npol] = payload
+            self.ngood_bytes += payload.nbytes
+            got += 1
+            if got == expected:
+                break
+        if expected is not None and got < expected:
+            self.nmissing += expected - got
+        return buf
