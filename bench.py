@@ -1,14 +1,19 @@
 """Benchmark: fused X-engine step at the full LWA-352 operating point.
 
 Measures sustained throughput of the flagship fused step (correlate +
-fast/slow accumulate + subsel + 32-beam beamform + power integration) on
-one chip, expressed as the equivalent 4+4-bit input rate in Gb/s.
+fast/slow accumulate + subsel + 32-beam beamform + power integration +
+VLBI downselect) on one chip, expressed as the equivalent 4+4-bit input
+rate in Gb/s.
 
 The baseline is the reference's de-facto real-time requirement: one
-pipeline must keep up with ~25.9 Gb/s of input (192 chan x 704 inputs x
+pipeline keeps up with ~25.9 Gb/s of input (192 chan x 704 inputs x
 23.926 kHz x 1 B) on an RTX 2080Ti (BASELINE.md).  ``vs_baseline`` is the
-achieved rate divided by that requirement, i.e. 1.0 == real time, higher
-is better.
+achieved rate over that bar (1.0 == real time; higher is better).
+
+Methodology: K steps are chained inside one jitted ``fori_loop`` (carrying
+the accumulator state) and a scalar of the final state is fetched to the
+host, so asynchronous dispatch cannot under-report.  Dispatch/transfer
+overhead is amortized over K.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,6 +24,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_GBPS = 25.9  # reference real-time requirement (BASELINE.md)
 
@@ -29,29 +35,43 @@ def main():
 
     cfg = LWA352
     state, packed, gains, pairs = xengine.default_inputs(cfg)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, packed, gains, pairs, fast_first, fast_last,
-             slow_first):
-        return xengine.xengine_step(state, packed, gains, pairs,
-                                    fast_first, fast_last, slow_first, cfg)
-
     flags = (jnp.bool_(False), jnp.bool_(False), jnp.bool_(False))
 
-    # Warm up / compile.
-    for _ in range(3):
-        state, out = step(state, packed, gains, pairs, *flags)
-    jax.block_until_ready((state, out))
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames="k")
+    def run_k(state, packed, gains, pairs, k):
+        def body(_, st):
+            st, _out = xengine.xengine_step(st, packed, gains, pairs,
+                                            *flags, cfg)
+            return st
 
-    # Timed run.
-    niter = 30
+        return jax.lax.fori_loop(0, k, body, state)
+
+    def fetch(st):
+        # force completion with a host transfer (the axon tunnel's
+        # block_until_ready does not wait for remote execution)
+        return float(np.asarray(jax.device_get(st.vis_fast.real[0, 0, 0])))
+
+    # Warm up / compile both k variants.
+    state = run_k(state, packed, gains, pairs, 1)
+    fetch(state)
+    k = 30
+    state = run_k(state, packed, gains, pairs, k)
+    fetch(state)
+
+    # Overhead of a single-step dispatch+fetch (subtracted per chain).
     t0 = time.perf_counter()
-    for _ in range(niter):
-        state, out = step(state, packed, gains, pairs, *flags)
-    jax.block_until_ready((state, out))
+    state = run_k(state, packed, gains, pairs, 1)
+    fetch(state)
+    overhead = time.perf_counter() - t0
+
+    nchain = 3
+    t0 = time.perf_counter()
+    for _ in range(nchain):
+        state = run_k(state, packed, gains, pairs, k)
+        fetch(state)
     elapsed = time.perf_counter() - t0
 
-    step_s = elapsed / niter
+    step_s = max(elapsed / nchain - overhead, 1e-9) / (k - 1)
     gulp_bits = 8 * cfg.gulp_nbyte
     gbps = gulp_bits / step_s / 1e9
     print(json.dumps({

@@ -48,6 +48,13 @@ class CommandBlock:
     def set_id(cls, x: int) -> None:
         CommandBlock.pipeline_id = x
 
+    @classmethod
+    def reset_instance_counts(cls) -> None:
+        """Reset the per-class instance counters (tests / fresh
+        pipelines).  The reference's counter is per-process
+        (block_base.py:85-93); a new pipeline process starts at 0."""
+        CommandBlock._instance_counts.clear()
+
     def __init__(self, name: str, store=None, log=None,
                  command_keyroot: str = "/cmd/corr",
                  monitor_keyroot: str = "/mon/corr",

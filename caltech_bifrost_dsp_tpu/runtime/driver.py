@@ -1,0 +1,336 @@
+"""Pipeline assembly: source -> fused device step -> product sinks.
+
+The analog of the reference's ``build_pipeline`` + 13 threads
+(reference: pipeline/scripts/lwa352-pipeline.py:57-311), collapsed to three
+host threads around one device program:
+
+- ingest: pulls gulps from the source into a staging ring (and the deep
+  trigger-history ring),
+- compute: drives the fused X-engine step with arming flags and pushes
+  dump products onto the output queue,
+- output: packetizes/sends products (COR / partial / PBEAM / IBEAM).
+
+Every stage keeps the reference's control surface (typed command keys with
+staged application) and its perf taxonomy (acquire / reserve / process /
+gbps).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import XEngineConfig
+from ..control.command import CommandBlock
+from ..models import xengine
+from ..ops import beamform as bf
+from ..ops import corr_subsel as cs
+from ..ops import correlate
+from ..utils.proclog import PerfTimer
+from .arming import Action, IntegrationController
+from .ring import HistoryRing, Ring
+
+
+class CorrCommandBlock(CommandBlock):
+    """Corr control endpoint wired to an IntegrationController
+    (command keys per reference: corr_block.py:243-246)."""
+
+    def __init__(self, name, ctrl: IntegrationController, granularity,
+                 store=None, autostartat=0, acc_len=2400):
+        super().__init__(name, store=store)
+        self.ctrl = ctrl
+        self.define_command_key(
+            "start_time", type=int, initial_val=autostartat,
+            condition=lambda x: (x == -1) or (x % granularity == 0))
+        self.define_command_key(
+            "acc_len", type=int, initial_val=acc_len,
+            condition=lambda x: x % granularity == 0)
+        self.update_stats({"xgpu_acc_len": granularity})
+
+    def apply_pending(self):
+        if self.update_pending:
+            self.update_command_vals()
+            self.ctrl.command(start_time=self.command_vals["start_time"],
+                              acc_len=self.command_vals["acc_len"])
+
+
+class BeamformCommandBlock(CommandBlock):
+    """Beamform coefficient endpoint: triple-buffered gain staging with
+    per-beam scheduled load samples
+    (reference: beamform_block.py:230-242, 320-362, 416-434)."""
+
+    def __init__(self, cfg: XEngineConfig, store=None):
+        super().__init__("Beamform", store=store, apply_immediately=True)
+        self.cfg = cfg
+        self.cal_gains = np.ones(
+            (cfg.nchan, cfg.nbeam, cfg.ninput), np.complex64)
+        self.gains_new = np.zeros_like(self.cal_gains)
+        self.gains_active = np.zeros_like(self.cal_gains)
+        self.gains_load_sample = np.zeros(cfg.nbeam)
+        self.freqs = (cfg.chan0 + np.arange(cfg.nchan)) * cfg.chan_bw_hz
+        self.copy_pending = True
+        self.define_command_key("coeffs", type=dict, initial_val={})
+        self._on_command_applied = self._apply_coeffs
+        for b in range(cfg.nbeam):
+            self.update_stats({"cal_gains%d" % b: [False] * cfg.ninput})
+
+    def _apply_coeffs(self, pending: dict):
+        v = pending.get("coeffs") or {}
+        try:
+            if v.get("type") == "calgains":
+                i, b = v["input_id"], v["beam_id"]
+                data = np.array(v["data"])
+                self.cal_gains[:, b, i] = data[0::2] + 1j * data[1::2]
+                self.stats["cal_gains%d" % b][i] = True
+            elif v.get("type") == "beamcoeffs":
+                b = v["beam_id"]
+                delays_ns = np.array(v["data"]["delays"])
+                amps = np.array(v["data"]["amps"])
+                phases = np.exp(1j * 2 * np.pi * self.freqs[:, None]
+                                * delays_ns * 1e-9)
+                self.gains_new[:, b, :] = (amps * phases
+                                           * self.cal_gains[:, b, :])
+                self.gains_load_sample[b] = v.get("load_sample", -1)
+                self.update_pending = True
+        except KeyError:
+            if self.log:
+                self.log.error("BEAMFORM >> Failed to parse command")
+
+    def stage_loads(self, this_gulp_time: int) -> bool:
+        """Copy any due per-beam coefficient sets into the active buffer
+        (beamform_block.py:416-434).  Returns True if the device copy is
+        (now) pending."""
+        with self._control_lock:
+            for b in range(self.cfg.nbeam):
+                ls = self.gains_load_sample[b]
+                if ls == 0:
+                    continue
+                if ls == -1 or this_gulp_time >= ls:
+                    self.gains_active[:, b, :] = self.gains_new[:, b, :]
+                    self.gains_load_sample[b] = 0
+                    self.copy_pending = True
+            if self.gains_load_sample.sum() == 0:
+                self.update_pending = False
+        return self.copy_pending
+
+    def device_gains(self) -> bf.BeamGains:
+        self.copy_pending = False
+        return bf.BeamGains.from_complex(self.gains_active)
+
+
+class SubselCommandBlock(CommandBlock):
+    """Baseline-selection endpoint (corr_subsel_block.py:237-246)."""
+
+    def __init__(self, cfg: XEngineConfig, store=None):
+        super().__init__("CorrSubsel", store=store)
+        self.cfg = cfg
+        default = cs.default_baselines(cfg.nvis_out, cfg.nstand)
+        self.define_command_key(
+            "baselines", type=list, initial_val=default,
+            condition=lambda x: len(x) == cfg.nvis_out)
+        self.baselines = default
+        self.pairs_device = jnp.asarray(
+            cs.baselines_to_inputs(default, cfg.npol).astype(np.int32))
+
+    def apply_pending(self) -> bool:
+        """Returns True if the selection changed (downstream starts a new
+        sequence, corr_subsel_block.py:315-329)."""
+        if not self.update_pending:
+            return False
+        self.update_command_vals()
+        self.baselines = self.command_vals["baselines"]
+        self.pairs_device = jnp.asarray(cs.baselines_to_inputs(
+            self.baselines, self.cfg.npol).astype(np.int32))
+        return True
+
+
+class XEnginePipeline:
+    """One pipeline instance: threads + fused step + control endpoints."""
+
+    def __init__(self, cfg: XEngineConfig, source, store=None,
+                 corr_outputs=(), subsel_outputs=(), pbeam_outputs=(),
+                 ibeam_outputs=(), history_nbyte: int = 0,
+                 autostartat: int = 0, sync_time: int = 0):
+        self.cfg = cfg
+        self.source = source
+        self.sync_time = sync_time
+        self.corr_outputs = list(corr_outputs)
+        self.subsel_outputs = list(subsel_outputs)
+        self.pbeam_outputs = list(pbeam_outputs)
+        self.ibeam_outputs = list(ibeam_outputs)
+
+        self.fast_ctrl = IntegrationController(
+            cfg.ntime_gulp, cfg.acc_len, start_time=autostartat,
+            recover_margin=10)
+        self.slow_ctrl = IntegrationController(
+            cfg.acc_len, cfg.acc_len_slow, start_time=autostartat,
+            recover_margin=2, next_boundary_start=False)
+        self.corr_cmd = CorrCommandBlock("Corr", self.fast_ctrl,
+                                         cfg.ntime_gulp, store=store,
+                                         autostartat=autostartat,
+                                         acc_len=cfg.acc_len)
+        self.corr_acc_cmd = CorrCommandBlock("CorrAcc", self.slow_ctrl,
+                                             cfg.acc_len, store=store,
+                                             autostartat=autostartat,
+                                             acc_len=cfg.acc_len_slow)
+        self.beam_cmd = BeamformCommandBlock(cfg, store=store)
+        self.subsel_cmd = SubselCommandBlock(cfg, store=store)
+
+        self.staging = Ring("staging", nbyte_budget=max(
+            4 * cfg.gulp_nbyte, 1 << 22))
+        self.history = None
+        if history_nbyte:
+            self.history = HistoryRing(history_nbyte,
+                                       frame_nbyte=cfg.gulp_nbyte)
+        self.out_queue: queue.Queue = queue.Queue(maxsize=8)
+        self.state = xengine.init_state(cfg)
+        self._stop = threading.Event()
+        self.perf_compute = PerfTimer(self.corr_cmd.perf_proclog)
+        self.ndump_fast = 0
+        self.ndump_slow = 0
+
+    # -- threads --------------------------------------------------------------
+
+    def _ingest(self, ngulp: int):
+        seq = self.staging.begin_sequence(
+            time_tag=1, header=self.source.header(seq0=0,
+                                                  sync_time=self.sync_time))
+        if self.history is not None:
+            self.history.set_header(seq.header, 0)
+        for t, gulp in self.source.stream(ngulp):
+            if self._stop.is_set():
+                break
+            self.staging.write_span(seq, gulp)
+            if self.history is not None:
+                self.history.push(gulp)
+        self.staging.end_sequence(seq)
+        self.staging.shutdown()
+
+    def _compute(self):
+        cfg = self.cfg
+        gains_dev = self.beam_cmd.device_gains()
+        for seq in self.staging.read():
+            hdr = seq.header
+            t = hdr["seq0"]
+            self.fast_ctrl.on_sequence_start(t)
+            self.slow_ctrl.on_sequence_start(t)
+            slow_dec = None
+            for span in self.staging.read_spans(seq):
+                self.perf_compute.mark_acquire()
+                if self._stop.is_set():
+                    return
+                self.corr_cmd.apply_pending()
+                self.corr_acc_cmd.apply_pending()
+                if self.subsel_cmd.apply_pending():
+                    pass  # new selection takes effect next dump
+                if self.beam_cmd.stage_loads(t):
+                    gains_dev = self.beam_cmd.device_gains()
+                dec = self.fast_ctrl.on_gulp(t)
+                self.corr_cmd.update_stats(
+                    {"state": self.fast_ctrl.state, "curr_sample": t})
+                if dec.action == Action.SKIP:
+                    t += cfg.ntime_gulp
+                    self.perf_compute.tick()
+                    continue
+                if dec.is_first:
+                    slow_dec = self.slow_ctrl.on_gulp(dec.seq0)
+                    self.corr_acc_cmd.update_stats(
+                        {"state": self.slow_ctrl.state})
+                self.perf_compute.mark_reserve()
+                packed = jnp.asarray(span.reshape(
+                    cfg.ntime_gulp, cfg.nchan, cfg.ninput))
+                self.state, out = xengine.xengine_step_jit(
+                    self.state, packed, gains_dev,
+                    self.subsel_cmd.pairs_device,
+                    dec.is_first, dec.action == Action.DUMP,
+                    slow_dec.is_first, cfg)
+                products = {"bf_power": np.asarray(out.bf_power),
+                            "vlbi": np.asarray(out.vlbi), "seq0": t,
+                            "hdr": hdr}
+                if dec.action == Action.DUMP:
+                    products["subsel"] = (np.asarray(out.subsel.real),
+                                          np.asarray(out.subsel.imag))
+                    products["subsel_baselines"] = self.subsel_cmd.baselines
+                    products["fast_seq0"] = dec.seq0
+                    products["acc_len"] = dec.acc_len
+                    self.ndump_fast += 1
+                    self.corr_cmd.update_stats({"last_end_sample": t})
+                    if slow_dec.action == Action.DUMP:
+                        products["vis_slow"] = \
+                            correlate.vis_to_numpy_complex(
+                                self.state.vis_slow)
+                        products["slow_seq0"] = slow_dec.seq0
+                        products["slow_acc_len"] = slow_dec.acc_len
+                        self.ndump_slow += 1
+                self.perf_compute.mark_process(span.nbytes)
+                self.perf_compute.publish()
+                self.out_queue.put(products)
+                t += cfg.ntime_gulp
+        self.out_queue.put(None)
+
+    def _output(self):
+        cfg = self.cfg
+        while True:
+            item = self.out_queue.get()
+            if item is None:
+                return
+            for snk in self.pbeam_outputs:
+                snk.send_powers(item["bf_power"], item["seq0"],
+                                cfg.ntime_sum)
+            for snk in self.ibeam_outputs:
+                snk.send_voltages(item["vlbi"], item["seq0"])
+            if "subsel" in item:
+                for snk in self.subsel_outputs:
+                    snk.send_subsel(item["subsel"][0], item["subsel"][1],
+                                    np.asarray(item["subsel_baselines"],
+                                               np.uint32),
+                                    self.sync_time, item["fast_seq0"],
+                                    item["acc_len"])
+            if "vis_slow" in item:
+                for snk in self.corr_outputs:
+                    if snk.checkfile:
+                        snk.check_against_file(
+                            item["vis_slow"], item["slow_acc_len"],
+                            item["slow_seq0"] // item["slow_acc_len"])
+                    snk.send_matrix(item["vis_slow"], self.sync_time,
+                                    item["slow_seq0"],
+                                    item["slow_acc_len"])
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def run(self, ngulp: int, timeout_s: float | None = None):
+        """Run all three stages to completion for ``ngulp`` gulps."""
+        threads = [
+            threading.Thread(target=self._ingest, args=(ngulp,),
+                             name="ingest", daemon=True),
+            threading.Thread(target=self._compute, name="compute",
+                             daemon=True),
+            threading.Thread(target=self._output, name="output",
+                             daemon=True),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=timeout_s)
+            if th.is_alive():
+                self._stop.set()
+                raise TimeoutError(f"pipeline stage {th.name} stalled")
+
+    def shutdown(self):
+        self._stop.set()
+        self.staging.shutdown()
+
+
+def build_pipeline_from_json(cfg_json: str, **kw) -> XEnginePipeline:
+    """Construct a pipeline from a JSON config blob (CLI entry support)."""
+    d = json.loads(cfg_json)
+    cfg = XEngineConfig(**d.get("config", {}))
+    from ..io.source import DummySource
+
+    src = DummySource(cfg, **d.get("source", {}))
+    return XEnginePipeline(cfg, src, **kw)

@@ -30,3 +30,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0xC0FFEE)
+
+
+@pytest.fixture(autouse=True)
+def _reset_block_instances():
+    from caltech_bifrost_dsp_tpu.control.command import CommandBlock
+
+    CommandBlock.reset_instance_counts()
+    yield

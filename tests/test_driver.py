@@ -1,0 +1,122 @@
+"""End-to-end pipeline driver: threads + arming + fused step + sinks,
+fed by golden test vectors and runtime-controlled over the in-memory
+store (the analog of the reference's test_pipeline.sh offline run,
+tests/correlator/README.md)."""
+
+import numpy as np
+import pytest
+
+from caltech_bifrost_dsp_tpu import config as cfgmod
+from caltech_bifrost_dsp_tpu.control.client import (CorrControlClient,
+                                                    PipelineControl)
+from caltech_bifrost_dsp_tpu.control.store import MemoryStore
+from caltech_bifrost_dsp_tpu.io import packets as pk
+from caltech_bifrost_dsp_tpu.io import sink, source
+from caltech_bifrost_dsp_tpu.runtime.driver import XEnginePipeline
+from caltech_bifrost_dsp_tpu.verification import golden
+
+CFG = cfgmod.TINY
+
+
+@pytest.fixture
+def goldenfiles(tmp_path):
+    ntime = 2 * CFG.acc_len_slow
+    inp = str(tmp_path / "in.dat")
+    corr = str(tmp_path / "corr.dat")
+    golden.write_input_file(inp, ntime, CFG.nchan, CFG.nstand, CFG.npol,
+                            CFG.acc_len)
+    golden.write_corr_file(corr, ntime, CFG.nchan, CFG.nstand, CFG.npol,
+                           CFG.acc_len)
+    return inp, corr, ntime
+
+
+def test_pipeline_end_to_end_with_golden_check(goldenfiles):
+    inp, corrfile, ntime = goldenfiles
+    src = source.DummySource(CFG, mode="testfile", testfile=inp)
+    corr_pkts, sub_pkts, pb_pkts = [], [], []
+    corr_out = sink.CorrFullOutput(CFG, send=corr_pkts.append,
+                                   checkfile=corrfile,
+                                   checkfile_acc_len=CFG.acc_len)
+    sub_out = sink.CorrPartOutput(CFG, send=sub_pkts.append)
+    pb_out = sink.PBeamOutput(CFG, senders={0: pb_pkts.append})
+    pipe = XEnginePipeline(CFG, src,
+                           corr_outputs=[corr_out],
+                           subsel_outputs=[sub_out],
+                           pbeam_outputs=[pb_out],
+                           history_nbyte=8 * CFG.gulp_nbyte)
+    ngulp = ntime // CFG.ntime_gulp
+    pipe.run(ngulp, timeout_s=180)
+    nfast = ntime // CFG.acc_len
+    nslow = ntime // CFG.acc_len_slow
+    assert pipe.ndump_fast == nfast
+    assert pipe.ndump_slow == nslow
+    # The slow dumps passed the golden equality gate
+    assert corr_out.check_count == nslow
+    assert corr_out.check_failures == 0
+    # COR packets: full triangle per slow dump
+    assert len(corr_pkts) == nslow * CFG.nstand * (CFG.nstand + 1) // 2
+    # subsel packets flow once per fast dump
+    assert len(sub_pkts) == nfast * int(np.ceil(CFG.nvis_out / 16))
+    # beam powers flow every gulp
+    assert len(pb_pkts) == ngulp * (CFG.ntime_gulp // CFG.ntime_sum)
+    hdr, payload = pk.decode_pbeam(pb_pkts[0])
+    assert hdr.navg == CFG.ntime_sum
+    # history ring captured the most recent gulps
+    assert pipe.history.count == ngulp
+
+
+def test_pipeline_runtime_control_acc_len_change():
+    """Reconfigure acc_len over the control store mid-run and verify the
+    commanded cadence takes effect (staged application at gulp
+    boundaries)."""
+    store = MemoryStore()
+    ngulp = 40
+    src = source.DummySource(CFG, mode="random")
+    pipe = XEnginePipeline(CFG, src, store=store)
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    # double the fast accumulation length before starting
+    new_acc = 2 * CFG.acc_len
+    ctl.corr.set_acc_length(new_acc)
+    ctl.corr.set_start_time(-1)
+    pipe.run(ngulp, timeout_s=180)
+    total_time = ngulp * CFG.ntime_gulp
+    # -1 arms the next acc_len boundary (= new_acc at t=0); then a dump
+    # every new_acc spectra
+    expected = (total_time - new_acc) // new_acc
+    assert pipe.ndump_fast == expected
+
+
+def test_pipeline_beamform_coefficient_load():
+    """Load cal gains + delays through the control path and check they
+    reach the device math (nonzero beam output only after load)."""
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    pb_pkts = []
+    pb_out = sink.PBeamOutput(CFG, senders={0: pb_pkts.append})
+    pipe = XEnginePipeline(CFG, src, store=store,
+                           pbeam_outputs=[pb_out])
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    # gains_active starts zeroed (reference semantics: beams silent until
+    # coefficients are loaded, beamform_block.py:239-241)
+    nin = CFG.ninput
+    ctl.beamform.update_delays(0, np.zeros(nin), amps=np.ones(nin),
+                               load_sample=-1)
+    ctl.beamform.update_delays(1, np.zeros(nin), amps=np.ones(nin),
+                               load_sample=-1)
+    pipe.run(8, timeout_s=180)
+    powers = [pk.decode_pbeam(p)[1] for p in pb_pkts]
+    assert any(np.abs(p).sum() > 0 for p in powers)
+
+
+def test_pipeline_stop_via_acc_len_zero():
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    pipe = XEnginePipeline(CFG, src, store=store, autostartat=0)
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    ctl.corr.set_acc_length(0)
+    pipe.run(10, timeout_s=180)
+    assert pipe.ndump_fast == 0
+    assert pipe.corr_cmd.stats["state"] in ("stopped", "waiting")
