@@ -1,0 +1,142 @@
+"""ctypes bindings for the native capture/transmit engine.
+
+Loads ``native/libcbd_native.so`` (built by ``native/Makefile``;
+:func:`build` compiles it on demand).  The native engine is the
+high-rate ingest path; :class:`UdpSnap2Source` in :mod:`.source` is the
+pure-Python fallback with identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcbd_native.so")
+
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library if needed; returns its path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    return _LIB_PATH
+
+
+def load():
+    """Load (building if necessary) and configure the C ABI."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.cbd_capture_create.restype = ctypes.c_void_p
+    lib.cbd_capture_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int]
+    lib.cbd_capture_start.restype = ctypes.c_int
+    lib.cbd_capture_start.argtypes = [ctypes.c_void_p]
+    lib.cbd_capture_get_gulp.restype = ctypes.c_int64
+    lib.cbd_capture_get_gulp.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_uint8),
+                                         ctypes.c_double]
+    lib.cbd_capture_stats.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_uint64)] * 4
+    lib.cbd_capture_stop.argtypes = [ctypes.c_void_p]
+    lib.cbd_capture_destroy.argtypes = [ctypes.c_void_p]
+    lib.cbd_transmit_gulp.restype = ctypes.c_int64
+    lib.cbd_transmit_gulp.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+class NativeCapture:
+    """High-rate snap2 capture (C++ RX thread + recvmmsg).
+
+    The production ingest path: replaces the reference's
+    UDPCapture/UDPVerbsCapture C++ engines (capture_block.py:180-189)."""
+
+    def __init__(self, cfg, bind_ip: str = "0.0.0.0", port: int = 10000,
+                 nbuf: int = 8):
+        self.cfg = cfg
+        self._lib = load()
+        self._h = self._lib.cbd_capture_create(
+            bind_ip.encode(), port, cfg.nchan, cfg.ninput, cfg.ntime_gulp,
+            nbuf)
+        if not self._h:
+            raise OSError(f"failed to bind capture on {bind_ip}:{port}")
+        self._buf = np.zeros(cfg.gulp_nbyte, np.uint8)
+
+    def start(self):
+        if self._lib.cbd_capture_start(self._h) != 0:
+            raise RuntimeError("capture already started")
+
+    def get_gulp(self, timeout_s: float = 5.0):
+        """Returns (seq0, gulp [ntime, nchan, ninput]) or (None, None)."""
+        seq0 = self._lib.cbd_capture_get_gulp(
+            self._h, self._buf.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)), timeout_s)
+        if seq0 < 0:
+            return None, None
+        cfg = self.cfg
+        return int(seq0), self._buf.reshape(
+            cfg.ntime_gulp, cfg.nchan, cfg.ninput).copy()
+
+    def stats(self) -> dict:
+        vals = [ctypes.c_uint64() for _ in range(4)]
+        self._lib.cbd_capture_stats(self._h, *[ctypes.byref(v)
+                                               for v in vals])
+        return {"ngood_bytes": vals[0].value, "npkt": vals[1].value,
+                "nmissing": vals[2].value, "nseq": vals[3].value}
+
+    def stop(self):
+        self._lib.cbd_capture_stop(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.cbd_capture_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def transmit_gulp(dest_ip: str, port: int, data: np.ndarray, seq0: int,
+                  nchan_per_pkt: int | None = None,
+                  npol_per_pkt: int = 64, delay_ns: int = 0,
+                  miss_every: int = 0) -> int:
+    """Blast a [ntime, nchan, ninput] gulp as snap2 packets (the
+    test_tx_mt.c load-generator parity path)."""
+    lib = load()
+    ntime, nchan, ninput = data.shape
+    nchan_per_pkt = nchan_per_pkt or nchan
+    data = np.ascontiguousarray(data, np.uint8)
+    sent = lib.cbd_transmit_gulp(
+        dest_ip.encode(), port,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ntime,
+        nchan, ninput, seq0, nchan_per_pkt, npol_per_pkt, delay_ns,
+        miss_every)
+    if sent < 0:
+        raise OSError("native transmit failed")
+    return int(sent)

@@ -1,0 +1,254 @@
+// Native snap2 UDP capture engine.
+//
+// TPU-native equivalent of the reference's C++ packet-capture layer
+// (bifrost UDPCapture, contract described in SURVEY.md section 2.2):
+// a dedicated RX thread drains the socket with recvmmsg, validates snap2
+// headers and scatters payloads into gulp-shaped [time, chan, input]
+// slots of a lock-light ring.  The consumer thread copies out completed
+// gulps; slots are emitted either when every expected packet landed or
+// when the stream has advanced past them (late/lost packets leave zeroed
+// holes, counted in nmissing -- the reference engine's behavior on loss).
+
+#include "cbd_native.h"
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <string.h>
+#include <sys/socket.h>
+#include <time.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdio>
+#include <cstdlib>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kBatch = 64;          // recvmmsg batch
+constexpr int kMaxPkt = 9000;       // jumbo-frame ceiling
+
+struct Slot {
+  std::vector<uint8_t> data;        // ntime_gulp * nchan * ninput
+  int64_t gulp_id = -1;             // seq / ntime_gulp currently held
+  uint32_t npkt = 0;                // packets landed in this slot
+  bool ready = false;
+};
+
+}  // namespace
+
+struct CbdCapture {
+  int fd = -1;
+  int nchan = 0, ninput = 0, ntime_gulp = 0, nbuf = 0;
+  int lead = 2;  // emit a lossy gulp once the stream is this many ahead
+  size_t gulp_nbyte = 0;
+  uint32_t expected_pkts_per_gulp = 0;  // learned from first packet
+
+  std::vector<Slot> slots;
+  std::mutex mu;
+  std::condition_variable cv;
+  int64_t emit_next = -1;           // next gulp_id to hand to the consumer
+  int64_t highest_gulp = -1;
+
+  std::atomic<uint64_t> ngood_bytes{0}, npkt{0}, nmissing{0}, nseq{0};
+  int64_t last_seq = -1;
+
+  std::thread rx;
+  std::atomic<bool> running{false};
+
+  Slot &slot_for(int64_t gulp_id) { return slots[gulp_id % nbuf]; }
+};
+
+static void rx_loop(CbdCapture *c) {
+  std::vector<std::vector<uint8_t>> bufs(kBatch,
+                                         std::vector<uint8_t>(kMaxPkt));
+  std::vector<mmsghdr> msgs(kBatch);
+  std::vector<iovec> iovs(kBatch);
+  for (int i = 0; i < kBatch; i++) {
+    iovs[i] = {bufs[i].data(), bufs[i].size()};
+    memset(&msgs[i], 0, sizeof(mmsghdr));
+    msgs[i].msg_hdr.msg_iov = &iovs[i];
+    msgs[i].msg_hdr.msg_iovlen = 1;
+  }
+  // NB: recvmmsg's timeout argument is only checked after at least one
+  // datagram arrives (Linux quirk); shutdown wake-up relies on the
+  // socket's SO_RCVTIMEO set at creation.
+  while (c->running.load(std::memory_order_relaxed)) {
+    int n = recvmmsg(c->fd, msgs.data(), kBatch, MSG_WAITFORONE, nullptr);
+    if (n <= 0) continue;
+    std::lock_guard<std::mutex> lk(c->mu);
+    for (int i = 0; i < n; i++) {
+      size_t len = msgs[i].msg_len;
+      if (len < sizeof(cbd_snap2_hdr)) continue;
+      auto *h = reinterpret_cast<cbd_snap2_hdr *>(bufs[i].data());
+      if (h->magic != CBD_SNAP2_MAGIC) continue;
+      if ((int)h->nchan_tot != c->nchan || (int)h->npol_tot != c->ninput)
+        continue;
+      size_t payload = (size_t)h->nchan * h->npol;
+      if (len < sizeof(cbd_snap2_hdr) + payload) continue;
+      if (c->expected_pkts_per_gulp == 0) {
+        c->expected_pkts_per_gulp =
+            (uint32_t)((c->nchan / h->nchan) * (c->ninput / h->npol) *
+                       c->ntime_gulp);
+      }
+      int64_t seq = (int64_t)h->seq;
+      // Sequence-break detection: a jump of more than one gulp starts a
+      // new sequence (the reference C engine's discontinuity rule).
+      if (c->last_seq >= 0 &&
+          (seq < c->last_seq - c->ntime_gulp ||
+           seq > c->last_seq + 4 * c->ntime_gulp))
+        c->nseq.fetch_add(1, std::memory_order_relaxed);
+      if (c->last_seq < 0) c->nseq.fetch_add(1, std::memory_order_relaxed);
+      c->last_seq = seq;
+
+      int64_t gulp_id = seq / c->ntime_gulp;
+      if (c->emit_next < 0) c->emit_next = gulp_id;
+      if (gulp_id < c->emit_next) continue;  // too late, already emitted
+      Slot &s = c->slot_for(gulp_id);
+      if (s.gulp_id != gulp_id) {
+        if (s.gulp_id >= c->emit_next && s.npkt > 0 && !s.ready) {
+          // overwriting a not-yet-emitted slot: stream advanced by more
+          // than the ring depth; count its holes and drop it
+          c->nmissing.fetch_add(
+              c->expected_pkts_per_gulp - s.npkt,
+              std::memory_order_relaxed);
+          if (c->emit_next == s.gulp_id) c->emit_next = s.gulp_id + 1;
+        }
+        s.gulp_id = gulp_id;
+        s.npkt = 0;
+        s.ready = false;
+        memset(s.data.data(), 0, s.data.size());
+      }
+      int t = (int)(seq - gulp_id * c->ntime_gulp);
+      size_t chan_off = (size_t)h->chan_block_id * h->nchan;
+      if (chan_off + h->nchan > (size_t)c->nchan) continue;
+      if ((size_t)h->pol0 + h->npol > (size_t)c->ninput) continue;
+      const uint8_t *src = bufs[i].data() + sizeof(cbd_snap2_hdr);
+      uint8_t *dst = s.data.data() +
+                     ((size_t)t * c->nchan + chan_off) * c->ninput +
+                     h->pol0;
+      for (int ch = 0; ch < h->nchan; ch++)
+        memcpy(dst + (size_t)ch * c->ninput, src + (size_t)ch * h->npol,
+               h->npol);
+      s.npkt++;
+      c->npkt.fetch_add(1, std::memory_order_relaxed);
+      c->ngood_bytes.fetch_add(payload, std::memory_order_relaxed);
+      if (gulp_id > c->highest_gulp) c->highest_gulp = gulp_id;
+      if (s.npkt == c->expected_pkts_per_gulp) s.ready = true;
+    }
+    c->cv.notify_all();
+  }
+  c->cv.notify_all();
+}
+
+extern "C" {
+
+CbdCapture *cbd_capture_create(const char *bind_ip, int port, int nchan,
+                               int ninput, int ntime_gulp, int nbuf) {
+  auto *c = new CbdCapture();
+  c->lead = nbuf > 4 ? 2 : nbuf - 1;
+  c->nchan = nchan;
+  c->ninput = ninput;
+  c->ntime_gulp = ntime_gulp;
+  c->nbuf = nbuf < 2 ? 2 : nbuf;
+  c->gulp_nbyte = (size_t)ntime_gulp * nchan * ninput;
+  c->slots.resize(c->nbuf);
+  for (auto &s : c->slots) s.data.assign(c->gulp_nbyte, 0);
+
+  c->fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (c->fd < 0) { delete c; return nullptr; }
+  int rcvbuf = 64 * 1024 * 1024;
+  setsockopt(c->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  timeval rcvto = {0, 100 * 1000};  // 100 ms: lets the RX loop observe stop
+  setsockopt(c->fd, SOL_SOCKET, SO_RCVTIMEO, &rcvto, sizeof(rcvto));
+  int reuse = 1;
+  setsockopt(c->fd, SOL_SOCKET, SO_REUSEADDR, &reuse, sizeof(reuse));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons((uint16_t)port);
+  addr.sin_addr.s_addr =
+      bind_ip && *bind_ip ? inet_addr(bind_ip) : INADDR_ANY;
+  if (bind(c->fd, (sockaddr *)&addr, sizeof(addr)) != 0) {
+    close(c->fd);
+    delete c;
+    return nullptr;
+  }
+  return c;
+}
+
+int cbd_capture_start(CbdCapture *c) {
+  if (!c || c->running.load()) return -1;
+  c->running.store(true);
+  c->rx = std::thread(rx_loop, c);
+  return 0;
+}
+
+int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
+                             double timeout_s) {
+  if (!c) return -1;
+  std::unique_lock<std::mutex> lk(c->mu);
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      std::chrono::duration<double>(timeout_s));
+  for (;;) {
+    if (c->emit_next >= 0) {
+      Slot &s = c->slot_for(c->emit_next);
+      bool passed = c->highest_gulp >= c->emit_next + c->lead;
+      if (s.gulp_id == c->emit_next && (s.ready || passed)) {
+        if (!s.ready)
+          c->nmissing.fetch_add(c->expected_pkts_per_gulp - s.npkt,
+                                std::memory_order_relaxed);
+        memcpy(out, s.data.data(), c->gulp_nbyte);
+        int64_t seq0 = s.gulp_id * c->ntime_gulp;
+        s.gulp_id = -1;
+        s.npkt = 0;
+        s.ready = false;
+        memset(s.data.data(), 0, s.data.size());
+        c->emit_next++;
+        return seq0;
+      }
+      // slot empty but stream has advanced: a fully-missing gulp
+      if (s.gulp_id != c->emit_next && passed) {
+        if (c->expected_pkts_per_gulp)
+          c->nmissing.fetch_add(c->expected_pkts_per_gulp,
+                                std::memory_order_relaxed);
+        memset(out, 0, c->gulp_nbyte);
+        int64_t seq0 = c->emit_next * c->ntime_gulp;
+        c->emit_next++;
+        return seq0;
+      }
+    }
+    if (!c->running.load()) return -1;
+    if (c->cv.wait_until(lk, deadline) == std::cv_status::timeout)
+      return -1;
+  }
+}
+
+void cbd_capture_stats(CbdCapture *c, uint64_t *ngood_bytes,
+                       uint64_t *npkt, uint64_t *nmissing,
+                       uint64_t *nseq) {
+  if (!c) return;
+  if (ngood_bytes) *ngood_bytes = c->ngood_bytes.load();
+  if (npkt) *npkt = c->npkt.load();
+  if (nmissing) *nmissing = c->nmissing.load();
+  if (nseq) *nseq = c->nseq.load();
+}
+
+void cbd_capture_stop(CbdCapture *c) {
+  if (!c) return;
+  c->running.store(false);
+  c->cv.notify_all();
+  if (c->rx.joinable()) c->rx.join();
+}
+
+void cbd_capture_destroy(CbdCapture *c) {
+  if (!c) return;
+  cbd_capture_stop(c);
+  if (c->fd >= 0) close(c->fd);
+  delete c;
+}
+
+}  // extern "C"

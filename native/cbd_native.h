@@ -1,0 +1,75 @@
+/* C ABI for the TPU X-engine's native host IO engine.
+ *
+ * TPU-native replacement for the reference's C++ packet engines (bifrost
+ * UDPCapture/UDPVerbsCapture, reference: capture_block.py:180-189, and the
+ * test_tx_mt.c load generator).  The hot RX loop runs in C++ with
+ * recvmmsg batching and scatters packets straight into gulp-shaped
+ * [time, chan, input] buffers that Python hands to the device feeder.
+ */
+#ifndef CBD_NATIVE_H
+#define CBD_NATIVE_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct CbdCapture CbdCapture;
+
+/* snap2 wire header (reference: test_tx_mt.c:38-49), little-endian. */
+typedef struct __attribute__((packed)) {
+    uint64_t seq;
+    uint32_t magic;       /* 0xaabbccdd */
+    uint16_t npol;
+    uint16_t npol_tot;
+    uint16_t nchan;
+    uint16_t nchan_tot;
+    uint32_t chan_block_id;
+    uint32_t chan0;
+    uint32_t pol0;
+} cbd_snap2_hdr;
+
+#define CBD_SNAP2_MAGIC 0xaabbccddu
+
+/* Create a capture engine bound to ip:port assembling gulps of
+ * ntime_gulp samples x nchan x ninput bytes into a ring of nbuf slots. */
+CbdCapture *cbd_capture_create(const char *bind_ip, int port, int nchan,
+                               int ninput, int ntime_gulp, int nbuf);
+
+/* Start the RX thread.  Returns 0 on success. */
+int cbd_capture_start(CbdCapture *c);
+
+/* Copy the next gulp (in arrival order) into out
+ * (ntime_gulp*nchan*ninput bytes).  A gulp is released when it is
+ * complete or when the writer has advanced past it.  Returns the gulp's
+ * first seq number, or -1 on timeout/shutdown. */
+int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
+                             double timeout_s);
+
+/* Counters: good payload bytes, packets received, packets missing in
+ * emitted gulps, sequence-start count. */
+void cbd_capture_stats(CbdCapture *c, uint64_t *ngood_bytes,
+                       uint64_t *npkt, uint64_t *nmissing,
+                       uint64_t *nseq);
+
+void cbd_capture_stop(CbdCapture *c);
+void cbd_capture_destroy(CbdCapture *c);
+
+/* Blast a [ntime, nchan, ninput] gulp as snap2 packets to dest_ip:port.
+ * nchan_per_pkt/npol_per_pkt set the packetization; delay_ns inserts a
+ * nanosleep every 16*nchan_blocks packets (the reference blaster's
+ * throttle, test_tx_mt.c:28-34); if miss_every > 0, every miss_every-th
+ * packet is deliberately dropped (fault injection,
+ * test_tx_mt.c:22,103-110).  Returns packets sent, or -1 on error. */
+int64_t cbd_transmit_gulp(const char *dest_ip, int port,
+                          const uint8_t *data, int64_t ntime, int nchan,
+                          int ninput, int64_t seq0, int nchan_per_pkt,
+                          int npol_per_pkt, long delay_ns,
+                          int miss_every);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* CBD_NATIVE_H */

