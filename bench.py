@@ -46,10 +46,13 @@ def main():
 
         return jax.lax.fori_loop(0, k, body, state)
 
+    probe = jax.jit(lambda st: jnp.sum(st.vis_fast.real[0, 0, :8]))
+
     def fetch(st):
         # force completion with a host transfer (the axon tunnel's
-        # block_until_ready does not wait for remote execution)
-        return float(np.asarray(jax.device_get(st.vis_fast.real[0, 0, 0])))
+        # block_until_ready does not wait for remote execution); raw
+        # eager slicing is unsupported on this backend, so probe via jit
+        return float(np.asarray(jax.device_get(probe(st))))
 
     # Warm up / compile both k variants.
     state = run_k(state, packed, gains, pairs, 1)

@@ -62,17 +62,47 @@ def zero_vis(nchan: int, ninput: int, dtype=jnp.int32) -> Vis:
     return Vis(z, z)
 
 
-def _xcorr_planes(xr, xi):
+#: Contraction engine: "bf16" multiplies on the MXU in bfloat16 with f32
+#: accumulation and rounds the (exactly integer) result to int32; "int8"
+#: uses a native s8xs8->s32 dot.  Both are bit-exact for 4-bit inputs; the
+#: bf16 path is the fast one on current TPUs (XLA's int8 dot lowers to a
+#: slow emulation on v5e), while int8 is kept for backends with native
+#: int8 MXU support.  Exactness: inputs are in [-8,7] (exact in bf16),
+#: per-plane products are in [-64,64], and every partial sum stays below
+#: 2^24 for ntime <= 262144, far above any gulp size.
+CORR_ENGINE = "bf16"
+_MAX_EXACT_NTIME = (1 << 24) // 64
+
+
+def _xcorr_planes(xr, xi, engine: str | None = None):
     """Correlate unpacked int8 planes [ntime, nchan, ninput].
 
     Returns int32 Vis.  x_i * conj(x_j) = (ar*br + ai*bi) + 1j(ai*br - ar*bi)
     summed over t; each term is one MXU-batched contraction over t.
     """
+    engine = engine or CORR_ENGINE
+    dn = (((0,), (0,)), ((1,), (1,)))
+    if engine == "bf16":
+        if xr.shape[0] > _MAX_EXACT_NTIME:
+            raise ValueError(
+                f"gulp of {xr.shape[0]} samples exceeds the exact-f32 "
+                f"accumulation bound {_MAX_EXACT_NTIME}")
+        ar = xr.astype(jnp.bfloat16)
+        ai = xi.astype(jnp.bfloat16)
+
+        def xc(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        vr = xc(ar, ar) + xc(ai, ai)
+        vi = xc(ai, ar) - xc(ar, ai)
+        return Vis(vr.astype(jnp.int32), vi.astype(jnp.int32))
+
     def xc(a, b):
         # [t, c, i] x [t, c, j] -> [c, i, j], contracting t, batching c.
         return jax.lax.dot_general(
-            a, b,
-            dimension_numbers=(((0,), (0,)), ((1,), (1,))),
+            a, b, dimension_numbers=dn,
             preferred_element_type=jnp.int32)
 
     vr = xc(xr, xr) + xc(xi, xi)

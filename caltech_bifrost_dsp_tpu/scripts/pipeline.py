@@ -1,0 +1,204 @@
+"""X-engine pipeline CLI.
+
+The analog of the reference's ``lwa352-pipeline.py`` operator entry point
+(reference: pipeline/scripts/lwa352-pipeline.py:313-342): assembles one
+pipeline instance (source -> fused TPU step -> sinks) from argparse flags,
+wires the control store, installs signal handlers, and runs.
+
+Examples::
+
+  # synthetic ramp source, no outputs, 1000 gulps
+  python -m caltech_bifrost_dsp_tpu.scripts.pipeline --fakesource \
+      --ngulp 1000
+
+  # golden-vector verification run (test_pipeline.sh analog)
+  python -m caltech_bifrost_dsp_tpu.scripts.pipeline --fakesource \
+      --testdatain in.dat --testdatacorr corr.dat --ngulp 2000
+
+  # UDP capture via the native C++ engine
+  python -m caltech_bifrost_dsp_tpu.scripts.pipeline --ip 0.0.0.0 \
+      --port 10000 --corr-dest 10.1.1.1:10001
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import sys
+import time
+
+from ..config import LWA352, XEngineConfig
+from ..control.command import CommandBlock
+from ..control.monitor import MonitorBridge
+from ..control.store import connect
+from ..io import sink, source
+from ..runtime.driver import XEnginePipeline
+
+
+def setup_logging(logfile: str | None, verbosity: int) -> logging.Logger:
+    """UTC-formatted logging (reference: lwa352-pipeline.py:86-99)."""
+    log = logging.getLogger(__name__)
+    fmt = logging.Formatter(
+        "%(asctime)s [%(levelname)-8s] %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S")
+    fmt.converter = time.gmtime
+    handler = (logging.StreamHandler(sys.stdout) if logfile is None
+               else logging.handlers.TimedRotatingFileHandler(
+                   logfile, when="D", backupCount=21, utc=True))
+    handler.setFormatter(fmt)
+    log.addHandler(handler)
+    log.setLevel(logging.DEBUG if verbosity > 0 else
+                 logging.INFO if verbosity == 0 else logging.WARNING)
+    return log
+
+
+def _dest(s: str):
+    ip, _, port = s.partition(":")
+    return ip, int(port or 10000)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native LWA-352 X-engine pipeline",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("-P", "--pipelineid", type=int, default=0)
+    p.add_argument("-c", "--nchan", type=int, default=LWA352.nchan)
+    p.add_argument("--nstand", type=int, default=LWA352.nstand)
+    p.add_argument("--nbeam", type=int, default=LWA352.nbeam)
+    p.add_argument("-a", "--acc_len", type=int, default=LWA352.acc_len)
+    p.add_argument("--acc_len_slow", type=int,
+                   default=LWA352.acc_len_slow)
+    p.add_argument("-t", "--ntime_gulp", type=int,
+                   default=LWA352.ntime_gulp)
+    p.add_argument("--autostartat", type=int, default=0,
+                   help="-1 starts on the next boundary")
+    p.add_argument("--fakesource", action="store_true",
+                   help="use the synthetic DummySource instead of UDP")
+    p.add_argument("--testdatain", type=str, default=None,
+                   help="golden input .dat file to loop")
+    p.add_argument("--testdatacorr", type=str, default=None,
+                   help="golden correlation .dat for the equality gate")
+    p.add_argument("--testdatacorr_acc_len", type=int, default=2400)
+    p.add_argument("--target_throughput", type=float, default=1000.0)
+    p.add_argument("--ip", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=10000)
+    p.add_argument("--corr-dest", type=str, default=None,
+                   metavar="IP:PORT")
+    p.add_argument("--subsel-dest", type=str, default=None)
+    p.add_argument("--pbeam-dest", type=str, default=None)
+    p.add_argument("--ibeam-dest", type=str, default=None)
+    p.add_argument("--max_mbps", type=int, default=1500)
+    p.add_argument("--bufgbytes", type=float, default=0.0,
+                   help="deep trigger-history buffer size in GB")
+    p.add_argument("--ngulp", type=int, default=0,
+                   help="stop after N gulps (0 = run forever)")
+    p.add_argument("--etcdhost", type=str, default=None,
+                   help="etcd server (in-memory store when omitted)")
+    p.add_argument("-l", "--logfile", type=str, default=None)
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-q", "--quiet", action="count", default=0)
+    return p
+
+
+def build_pipeline(args, log) -> XEnginePipeline:
+    cfg = XEngineConfig(
+        nstand=args.nstand, nchan=args.nchan, nbeam=args.nbeam,
+        ntime_gulp=args.ntime_gulp, acc_len=args.acc_len,
+        acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid)
+    CommandBlock.set_id(args.pipelineid)
+    store = connect(args.etcdhost)
+
+    if args.fakesource:
+        if args.testdatain:
+            src = source.DummySource(
+                cfg, mode="testfile", testfile=args.testdatain,
+                target_throughput_gbps=args.target_throughput)
+        else:
+            src = source.DummySource(
+                cfg, mode="ramp",
+                target_throughput_gbps=args.target_throughput)
+    else:
+        from .. io import native
+
+        cap = native.NativeCapture(cfg, args.ip, args.port)
+        cap.start()
+
+        class _CaptureSource:
+            def header(self, **kw):
+                return source.sequence_header(cfg, **kw)
+
+            def stream(self, ngulp):
+                n = 0
+                while ngulp == 0 or n < ngulp:
+                    seq0, gulp = cap.get_gulp(timeout_s=5.0)
+                    if seq0 is None:
+                        continue
+                    yield seq0, gulp
+                    n += 1
+
+        src = _CaptureSource()
+
+    corr_outputs = []
+    if args.corr_dest or args.testdatacorr:
+        send = (sink.UdpSender(*_dest(args.corr_dest))
+                if args.corr_dest else None)
+        corr_outputs.append(sink.CorrFullOutput(
+            cfg, send=send, max_mbps=args.max_mbps,
+            checkfile=args.testdatacorr,
+            checkfile_acc_len=args.testdatacorr_acc_len))
+    subsel_outputs = []
+    if args.subsel_dest:
+        subsel_outputs.append(sink.CorrPartOutput(
+            cfg, send=sink.UdpSender(*_dest(args.subsel_dest))))
+    pbeam_outputs = []
+    if args.pbeam_dest:
+        ip, port = _dest(args.pbeam_dest)
+        pbeam_outputs.append(sink.PBeamOutput(
+            cfg, senders={b: sink.UdpSender(ip, port + b)
+                          for b in range(cfg.nbeam // 2)},
+            pipeline_idx=args.pipelineid + 1))
+    ibeam_outputs = []
+    if args.ibeam_dest:
+        ibeam_outputs.append(sink.IBeamOutput(
+            cfg, send=sink.UdpSender(*_dest(args.ibeam_dest)),
+            pipeline_idx=args.pipelineid + 1))
+
+    pipe = XEnginePipeline(
+        cfg, src, store=store, corr_outputs=corr_outputs,
+        subsel_outputs=subsel_outputs, pbeam_outputs=pbeam_outputs,
+        ibeam_outputs=ibeam_outputs,
+        history_nbyte=int(args.bufgbytes * 1e9),
+        autostartat=args.autostartat, sync_time=int(time.time()))
+    bridge = MonitorBridge(store, pipeline_id=args.pipelineid)
+    bridge.start()
+    pipe._monitor_bridge = bridge
+    return pipe
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    log = setup_logging(args.logfile, args.verbose - args.quiet)
+    pipe = build_pipeline(args, log)
+
+    def _shutdown(signum, frame):
+        log.info("signal %d: shutting down", signum)
+        pipe.shutdown()
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, _shutdown)
+    log.info("pipeline %d starting (nchan=%d nstand=%d)",
+             args.pipelineid, args.nchan, args.nstand)
+    pipe.run(args.ngulp)
+    for out in pipe.corr_outputs:
+        if out.checkfile:
+            log.info("golden check: %d/%d passed",
+                     out.check_count - out.check_failures,
+                     out.check_count)
+            if out.check_failures:
+                return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""Per-server pipeline manager daemon.
+
+Analog of reference: pipeline-control/scripts/
+lwa352_start_xeng_etcd_service.py + lwa352_xeng_etcd_client.py — runs the
+RPC service that starts/stops pipeline processes on this host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+
+from ..control.manager import XengineController, XengineManagerService
+from ..control.store import connect
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="TPU X-engine host manager")
+    p.add_argument("--etcdhost", type=str, default=None)
+    p.add_argument("--pidfile-dir", type=str, default="/tmp")
+    p.add_argument("--cores", type=str, default="",
+                   help="pipeline_id:core,core;pipeline_id:... pinning")
+    args = p.parse_args(argv)
+
+    cpu_tables = {}
+    if args.cores:
+        for part in args.cores.split(";"):
+            pid, _, cores = part.partition(":")
+            cpu_tables[int(pid)] = [int(c) for c in cores.split(",")]
+
+    store = connect(args.etcdhost)
+    ctl = XengineController(pidfile_dir=args.pidfile_dir,
+                            cpu_tables=cpu_tables)
+    svc = XengineManagerService(store, ctl)
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    print("manager listening on", svc.cmd_key)
+    stop.wait()
+    svc.close()
+    ctl.kill_pipelines()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
