@@ -273,20 +273,25 @@ class TriggeredDump:
         path = dump_path or self.dump_path
         files = []
         start = self.ring.earliest()
-        frames_per_time = 1  # one ring frame per time sample
+        hdr0 = self.ring.header
+        # samples per ring frame (frames are gulp-shaped)
+        sample_nbyte = (hdr0.get("nchan", 1) * hdr0.get("nstand", 1)
+                        * hdr0.get("npol", 1)) or 1
+        spf = max(1, self.ring.frame_nbyte // sample_nbyte)
+        frames_per_file = max(1, -(-ntime_per_file // spf))
         for i in range(nfile):
             if self.abort_requested:
                 break
-            lo = start + i * ntime_per_file * frames_per_time
-            n = ntime_per_file * frames_per_time
+            lo = start + i * frames_per_file
+            n = frames_per_file
             if lo + n > self.ring.count:
                 n = self.ring.count - lo
             if n <= 0:
                 break
             data = self.ring.snapshot(lo, n)
-            hdr = dict(self.ring.header)
-            hdr.update({"ntime": n,
-                        "seq0": self.ring.frame0_seq + lo,
+            hdr = dict(hdr0)
+            hdr.update({"ntime": n * spf,
+                        "seq0": self.ring.frame0_seq + lo * spf,
                         "dump_index": i})
             fname = os.path.join(
                 path, "%s_%d_%d.tbf" % (self.file_prefix,

@@ -149,6 +149,44 @@ class SubselCommandBlock(CommandBlock):
         return True
 
 
+class TriggeredDumpCommandBlock(CommandBlock):
+    """Trigger/abort/stop endpoint for the deep-buffer dump
+    (command keys per reference: triggered_dump_block.py:164-169)."""
+
+    def __init__(self, dumper, store=None):
+        super().__init__("TriggeredDump", store=store,
+                         apply_immediately=True)
+        self.dumper = dumper
+        self.define_command_key(
+            "command", type=str, initial_val="",
+            condition=lambda x: x in ("", "trigger", "abort", "stop"))
+        self.define_command_key("ntime_per_file", type=int,
+                                initial_val=1024)
+        self.define_command_key("nfile", type=int, initial_val=1)
+        self.define_command_key("dump_path", type=str, initial_val=".")
+        self._on_command_applied = self._dispatch
+        self.last_files: list = []
+
+    def _dispatch(self, pending: dict):
+        cmd = pending.get("command")
+        if cmd == "trigger" and self.dumper is not None:
+            import threading as _th
+
+            def _run():
+                self.update_stats({"state": "dumping"})
+                self.last_files = self.dumper.trigger(
+                    self.command_vals["ntime_per_file"],
+                    self.command_vals["nfile"],
+                    self.command_vals["dump_path"])
+                self.update_stats({"state": "idle",
+                                   "last_files": self.last_files})
+
+            _th.Thread(target=_run, daemon=True,
+                       name="triggered-dump").start()
+        elif cmd in ("abort", "stop") and self.dumper is not None:
+            self.dumper.abort()
+
+
 class XEnginePipeline:
     """One pipeline instance: threads + fused step + control endpoints."""
 
@@ -184,9 +222,15 @@ class XEnginePipeline:
         self.staging = Ring("staging", nbyte_budget=max(
             4 * cfg.gulp_nbyte, 1 << 22))
         self.history = None
+        self.dump_cmd = None
         if history_nbyte:
             self.history = HistoryRing(history_nbyte,
                                        frame_nbyte=cfg.gulp_nbyte)
+            from ..io.sink import TriggeredDump
+
+            self.dumper = TriggeredDump(self.history)
+            self.dump_cmd = TriggeredDumpCommandBlock(self.dumper,
+                                                      store=store)
         self.out_queue: queue.Queue = queue.Queue(maxsize=8)
         self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
