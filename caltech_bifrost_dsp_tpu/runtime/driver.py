@@ -193,8 +193,16 @@ class XEnginePipeline:
     def __init__(self, cfg: XEngineConfig, source, store=None,
                  corr_outputs=(), subsel_outputs=(), pbeam_outputs=(),
                  ibeam_outputs=(), history_nbyte: int = 0,
-                 autostartat: int = 0, sync_time: int = 0):
+                 autostartat: int = 0, sync_time: int = 0,
+                 selftest: bool = False):
         self.cfg = cfg
+        # selftest: run a (slow!) numpy correlator alongside and compare
+        # each fast dump exactly — the reference's Corr(test=True) mode
+        # (corr_block.py:265-315, --testcorr flag).
+        self.selftest = selftest
+        self.selftest_failures = 0
+        self.selftest_count = 0
+        self._selftest_acc = None
         self.source = source
         self.sync_time = sync_time
         self.corr_outputs = list(corr_outputs)
@@ -293,6 +301,23 @@ class XEnginePipeline:
                     self.subsel_cmd.pairs_device,
                     dec.is_first, dec.action == Action.DUMP,
                     slow_dec.is_first, cfg)
+                if self.selftest:
+                    from ..verification import golden as _golden
+
+                    ref = _golden.reference_correlation(span.reshape(
+                        cfg.ntime_gulp, cfg.nchan, cfg.nstand, cfg.npol))
+                    self._selftest_acc = (ref if dec.is_first
+                                          else self._selftest_acc + ref)
+                    if dec.action == Action.DUMP:
+                        got = correlate.vis_to_numpy_complex(
+                            self.state.vis_fast)
+                        ok = _golden.check_vis_against_golden(
+                            got, self._selftest_acc)
+                        self.selftest_count += 1
+                        if not ok:
+                            self.selftest_failures += 1
+                        self.corr_cmd.update_stats(
+                            {"selftest_ok": bool(ok)})
                 products = {"bf_power": np.asarray(out.bf_power),
                             "vlbi": np.asarray(out.vlbi), "seq0": t,
                             "hdr": hdr}

@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="deep trigger-history buffer size in GB")
     p.add_argument("--ngulp", type=int, default=0,
                    help="stop after N gulps (0 = run forever)")
+    p.add_argument("--testcorr", action="store_true",
+                   help="run a (slow) numpy correlator alongside and "
+                        "compare every fast dump exactly")
     p.add_argument("--etcdhost", type=str, default=None,
                    help="etcd server (in-memory store when omitted)")
     p.add_argument("-l", "--logfile", type=str, default=None)
@@ -169,7 +172,8 @@ def build_pipeline(args, log) -> XEnginePipeline:
         subsel_outputs=subsel_outputs, pbeam_outputs=pbeam_outputs,
         ibeam_outputs=ibeam_outputs,
         history_nbyte=int(args.bufgbytes * 1e9),
-        autostartat=args.autostartat, sync_time=int(time.time()))
+        autostartat=args.autostartat, sync_time=int(time.time()),
+        selftest=args.testcorr)
     bridge = MonitorBridge(store, pipeline_id=args.pipelineid)
     bridge.start()
     pipe._monitor_bridge = bridge
@@ -197,6 +201,12 @@ def main(argv=None) -> int:
                      out.check_count)
             if out.check_failures:
                 return 1
+    if pipe.selftest:
+        log.info("selftest: %d/%d passed",
+                 pipe.selftest_count - pipe.selftest_failures,
+                 pipe.selftest_count)
+        if pipe.selftest_failures:
+            return 1
     return 0
 
 
