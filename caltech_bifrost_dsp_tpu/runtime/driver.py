@@ -194,8 +194,13 @@ class XEnginePipeline:
                  corr_outputs=(), subsel_outputs=(), pbeam_outputs=(),
                  ibeam_outputs=(), history_nbyte: int = 0,
                  autostartat: int = 0, sync_time: int = 0,
-                 selftest: bool = False):
+                 selftest: bool = False, batch_accumulations: bool = True):
         self.cfg = cfg
+        # batch_accumulations: process whole fast accumulations in one
+        # device call (the MXU accumulates over the full window with no
+        # per-gulp HBM round-trips); per-gulp fallback covers partial
+        # accumulations after arming/recovery.
+        self.batch_accumulations = batch_accumulations
         # selftest: run a (slow!) numpy correlator alongside and compare
         # each fast dump exactly — the reference's Corr(test=True) mode
         # (corr_block.py:265-315, --testcorr flag).
@@ -263,25 +268,74 @@ class XEnginePipeline:
         self.staging.end_sequence(seq)
         self.staging.shutdown()
 
+    def _run_step(self, block, gains_dev, is_first, is_dump, slow_first):
+        """One device call over ``block`` ([k*ntime_gulp, nchan, ninput])."""
+        cfg = self.cfg
+        packed = jnp.asarray(block)
+        self.state, out = xengine.xengine_step_jit(
+            self.state, packed, gains_dev, self.subsel_cmd.pairs_device,
+            is_first, is_dump, slow_first, cfg)
+        return out
+
+    def _emit(self, out, t, hdr, dec, slow_dec):
+        products = {"bf_power": np.asarray(out.bf_power),
+                    "vlbi": np.asarray(out.vlbi), "seq0": t, "hdr": hdr}
+        if dec.action == Action.DUMP:
+            products["subsel"] = (np.asarray(out.subsel.real),
+                                  np.asarray(out.subsel.imag))
+            products["subsel_baselines"] = self.subsel_cmd.baselines
+            products["fast_seq0"] = dec.seq0
+            products["acc_len"] = dec.acc_len
+            self.ndump_fast += 1
+            if slow_dec.action == Action.DUMP:
+                products["vis_slow"] = correlate.vis_to_numpy_complex(
+                    self.state.vis_slow)
+                products["slow_seq0"] = slow_dec.seq0
+                products["slow_acc_len"] = slow_dec.acc_len
+                self.ndump_slow += 1
+        self.out_queue.put(products)
+
+    def _selftest_update(self, span, is_first, is_dump):
+        from ..verification import golden as _golden
+
+        cfg = self.cfg
+        ref = _golden.reference_correlation(span.reshape(
+            -1, cfg.nchan, cfg.nstand, cfg.npol))
+        self._selftest_acc = (ref if is_first
+                              else self._selftest_acc + ref)
+        if is_dump:
+            got = correlate.vis_to_numpy_complex(self.state.vis_fast)
+            ok = _golden.check_vis_against_golden(got, self._selftest_acc)
+            self.selftest_count += 1
+            if not ok:
+                self.selftest_failures += 1
+            self.corr_cmd.update_stats({"selftest_ok": bool(ok)})
+
     def _compute(self):
         cfg = self.cfg
         gains_dev = self.beam_cmd.device_gains()
+        gulps_per_acc = self.fast_ctrl.acc_len // cfg.ntime_gulp
         for seq in self.staging.read():
             hdr = seq.header
             t = hdr["seq0"]
             self.fast_ctrl.on_sequence_start(t)
             self.slow_ctrl.on_sequence_start(t)
             slow_dec = None
+            batch: list = []  # buffered (t, span, dec) within one acc
             for span in self.staging.read_spans(seq):
                 self.perf_compute.mark_acquire()
                 if self._stop.is_set():
                     return
-                self.corr_cmd.apply_pending()
-                self.corr_acc_cmd.apply_pending()
-                if self.subsel_cmd.apply_pending():
-                    pass  # new selection takes effect next dump
-                if self.beam_cmd.stage_loads(t):
-                    gains_dev = self.beam_cmd.device_gains()
+                if not batch:
+                    # commands and coefficient loads apply at accumulation
+                    # boundaries (gulp boundaries in unbatched mode)
+                    self.corr_cmd.apply_pending()
+                    self.corr_acc_cmd.apply_pending()
+                    self.subsel_cmd.apply_pending()
+                    if self.beam_cmd.stage_loads(t):
+                        gains_dev = self.beam_cmd.device_gains()
+                    gulps_per_acc = max(
+                        1, self.fast_ctrl.acc_len // cfg.ntime_gulp)
                 dec = self.fast_ctrl.on_gulp(t)
                 self.corr_cmd.update_stats(
                     {"state": self.fast_ctrl.state, "curr_sample": t})
@@ -294,51 +348,56 @@ class XEnginePipeline:
                     self.corr_acc_cmd.update_stats(
                         {"state": self.slow_ctrl.state})
                 self.perf_compute.mark_reserve()
-                packed = jnp.asarray(span.reshape(
-                    cfg.ntime_gulp, cfg.nchan, cfg.ninput))
-                self.state, out = xengine.xengine_step_jit(
-                    self.state, packed, gains_dev,
-                    self.subsel_cmd.pairs_device,
-                    dec.is_first, dec.action == Action.DUMP,
-                    slow_dec.is_first, cfg)
-                if self.selftest:
-                    from ..verification import golden as _golden
-
-                    ref = _golden.reference_correlation(span.reshape(
-                        cfg.ntime_gulp, cfg.nchan, cfg.nstand, cfg.npol))
-                    self._selftest_acc = (ref if dec.is_first
-                                          else self._selftest_acc + ref)
+                if self.batch_accumulations and gulps_per_acc > 1:
+                    batch.append((t, span, dec))
                     if dec.action == Action.DUMP:
-                        got = correlate.vis_to_numpy_complex(
-                            self.state.vis_fast)
-                        ok = _golden.check_vis_against_golden(
-                            got, self._selftest_acc)
-                        self.selftest_count += 1
-                        if not ok:
-                            self.selftest_failures += 1
+                        if len(batch) == gulps_per_acc:
+                            # whole accumulation in ONE device call: the
+                            # MXU accumulates over k*ntime_gulp samples
+                            # with no intermediate HBM round-trips
+                            block = np.concatenate(
+                                [s for _, s, _ in batch]).reshape(
+                                    -1, cfg.nchan, cfg.ninput)
+                            out = self._run_step(block, gains_dev, True,
+                                                 True, slow_dec.is_first)
+                            if self.selftest:
+                                self._selftest_update(block, True, True)
+                            self._emit(out, batch[0][0], hdr, dec,
+                                       slow_dec)
+                        else:
+                            # partial accumulation (start mid-way after
+                            # arming/recovery): per-gulp fallback
+                            for tg, sg, dg in batch:
+                                out = self._run_step(
+                                    sg.reshape(-1, cfg.nchan, cfg.ninput),
+                                    gains_dev, dg.is_first,
+                                    dg.action == Action.DUMP,
+                                    slow_dec.is_first)
+                                if self.selftest:
+                                    self._selftest_update(
+                                        sg, dg.is_first,
+                                        dg.action == Action.DUMP)
+                                self._emit(out, tg, hdr, dg, slow_dec)
+                        batch = []
+                        self.perf_compute.mark_process(
+                            gulps_per_acc * span.nbytes)
+                        self.perf_compute.publish()
                         self.corr_cmd.update_stats(
-                            {"selftest_ok": bool(ok)})
-                products = {"bf_power": np.asarray(out.bf_power),
-                            "vlbi": np.asarray(out.vlbi), "seq0": t,
-                            "hdr": hdr}
-                if dec.action == Action.DUMP:
-                    products["subsel"] = (np.asarray(out.subsel.real),
-                                          np.asarray(out.subsel.imag))
-                    products["subsel_baselines"] = self.subsel_cmd.baselines
-                    products["fast_seq0"] = dec.seq0
-                    products["acc_len"] = dec.acc_len
-                    self.ndump_fast += 1
-                    self.corr_cmd.update_stats({"last_end_sample": t})
-                    if slow_dec.action == Action.DUMP:
-                        products["vis_slow"] = \
-                            correlate.vis_to_numpy_complex(
-                                self.state.vis_slow)
-                        products["slow_seq0"] = slow_dec.seq0
-                        products["slow_acc_len"] = slow_dec.acc_len
-                        self.ndump_slow += 1
-                self.perf_compute.mark_process(span.nbytes)
-                self.perf_compute.publish()
-                self.out_queue.put(products)
+                            {"last_end_sample": t})
+                else:
+                    out = self._run_step(
+                        span.reshape(-1, cfg.nchan, cfg.ninput),
+                        gains_dev, dec.is_first,
+                        dec.action == Action.DUMP, slow_dec.is_first)
+                    if self.selftest:
+                        self._selftest_update(span, dec.is_first,
+                                              dec.action == Action.DUMP)
+                    self._emit(out, t, hdr, dec, slow_dec)
+                    self.perf_compute.mark_process(span.nbytes)
+                    self.perf_compute.publish()
+                    if dec.action == Action.DUMP:
+                        self.corr_cmd.update_stats(
+                            {"last_end_sample": t})
                 t += cfg.ntime_gulp
         self.out_queue.put(None)
 

@@ -30,7 +30,8 @@ def goldenfiles(tmp_path):
     return inp, corr, ntime
 
 
-def test_pipeline_end_to_end_with_golden_check(goldenfiles):
+@pytest.mark.parametrize("batch", [True, False])
+def test_pipeline_end_to_end_with_golden_check(goldenfiles, batch):
     inp, corrfile, ntime = goldenfiles
     src = source.DummySource(CFG, mode="testfile", testfile=inp)
     corr_pkts, sub_pkts, pb_pkts = [], [], []
@@ -43,7 +44,8 @@ def test_pipeline_end_to_end_with_golden_check(goldenfiles):
                            corr_outputs=[corr_out],
                            subsel_outputs=[sub_out],
                            pbeam_outputs=[pb_out],
-                           history_nbyte=8 * CFG.gulp_nbyte)
+                           history_nbyte=8 * CFG.gulp_nbyte,
+                           batch_accumulations=batch, selftest=True)
     ngulp = ntime // CFG.ntime_gulp
     pipe.run(ngulp, timeout_s=180)
     nfast = ntime // CFG.acc_len
@@ -63,6 +65,8 @@ def test_pipeline_end_to_end_with_golden_check(goldenfiles):
     assert hdr.navg == CFG.ntime_sum
     # history ring captured the most recent gulps
     assert pipe.history.count == ngulp
+    # the in-pipeline numpy self-test agreed on every dump
+    assert pipe.selftest_count == nfast and pipe.selftest_failures == 0
 
 
 def test_pipeline_runtime_control_acc_len_change():
