@@ -54,7 +54,24 @@ class BeamVoltages(NamedTuple):
     imag: jax.Array
 
 
-def beamform_gulp(packed: jax.Array, gains: BeamGains) -> BeamVoltages:
+#: Beamform engine: "bf16x2" splits each f32 gain into a bf16 hi+lo pair
+#: and runs two single-pass bf16 MXU matmuls per product (voltages are
+#: small ints, exact in bf16), giving ~2^-16 relative accuracy — well
+#: inside the reference's rtol=1e-4 gate — at ~3x the speed of the f32
+#: HIGHEST (multi-pass) path.  "f32" keeps the HIGHEST-precision path.
+BEAMFORM_ENGINE = "bf16x2"
+
+_BM_DN = (((2,), (2,)), ((0,), (1,)))
+
+
+def _split_bf16x2(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def beamform_gulp(packed: jax.Array, gains: BeamGains,
+                  engine: str | None = None) -> BeamVoltages:
     """Form voltage beams for one gulp.
 
     Args:
@@ -64,15 +81,34 @@ def beamform_gulp(packed: jax.Array, gains: BeamGains) -> BeamVoltages:
     Returns:
       BeamVoltages f32 [nchan, nbeam, ntime].
     """
+    engine = engine or BEAMFORM_ENGINE
     xr8, xi8 = unpack_jnp(packed)
+
+    if engine == "bf16x2":
+        xr = xr8.astype(jnp.bfloat16)
+        xi = xi8.astype(jnp.bfloat16)
+        gr_hi, gr_lo = _split_bf16x2(gains.real)
+        gi_hi, gi_lo = _split_bf16x2(gains.imag)
+
+        def bm2(hi, lo, x):
+            # [c, b, i] x [t, c, i] -> [c, b, t], contracting i, batch c.
+            return (jax.lax.dot_general(
+                        hi, x, dimension_numbers=_BM_DN,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        lo, x, dimension_numbers=_BM_DN,
+                        preferred_element_type=jnp.float32))
+
+        br = bm2(gr_hi, gr_lo, xr) - bm2(gi_hi, gi_lo, xi)
+        bi = bm2(gr_hi, gr_lo, xi) + bm2(gi_hi, gi_lo, xr)
+        return BeamVoltages(br, bi)
+
     xr = xr8.astype(jnp.float32)
     xi = xi8.astype(jnp.float32)
 
     def bm(w, x):
-        # [c, b, i] x [t, c, i] -> [c, b, t], contracting i, batching c.
         return jax.lax.dot_general(
-            w, x,
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            w, x, dimension_numbers=_BM_DN,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 

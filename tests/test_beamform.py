@@ -53,7 +53,10 @@ def test_beam_power_sum(rng):
         np.sum(np.real(xs * np.conj(ys)), -1),
         np.sum(np.imag(xs * np.conj(ys)), -1),
     ], axis=-1).transpose(1, 2, 0, 3)
-    assert np.allclose(pw, want, rtol=1e-4, atol=1e-2)
+    # powers are O(1e5-1e6); near-cancelling cross terms need an atol
+    # scaled to the power magnitude at the engine's ~2e-5 voltage error
+    assert np.allclose(pw, want, rtol=1e-3,
+                       atol=1e-4 * np.abs(want).max())
 
 
 def test_beam_power_single_matches_pair(rng):
