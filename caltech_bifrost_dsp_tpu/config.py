@@ -49,6 +49,10 @@ class XEngineConfig:
     # reference: pipeline/scripts/lwa352-upchan-bf.py:94-97).
     pfb_ntap: int = 4
     nupchan: int = 32            # fine channels per coarse channel (offline)
+    # Correlator kernel: "xla" = dense bf16 dot_general; "pallas_triu" =
+    # fused-unpack upper-triangular Pallas kernel (accumulators then hold
+    # only the upper triangle; consumers mirror at dump time).
+    corr_engine: str = "xla"
 
     def __post_init__(self):
         if self.acc_len % self.ntime_gulp != 0:
@@ -69,6 +73,8 @@ class XEngineConfig:
             raise ValueError("nstand must be a multiple of 4")
         if self.nbeam % 2 != 0:
             raise ValueError("nbeam must be even (beams pair into X/Y pols)")
+        if self.corr_engine not in ("xla", "pallas_triu"):
+            raise ValueError(f"unknown corr_engine {self.corr_engine!r}")
 
     # ---- derived quantities -------------------------------------------------
 

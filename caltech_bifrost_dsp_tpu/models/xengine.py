@@ -82,7 +82,14 @@ def xengine_step(state: XEngineState,
         corr_acc_block.py:303-306).
       cfg: static configuration.
     """
-    vis_gulp = corr.correlate_gulp(packed)
+    if cfg.corr_engine == "pallas_triu":
+        from ..ops.pallas.corr_triu import packed_corr_triu
+
+        # interpret mode on CPU (tests); compiled Mosaic kernel on TPU
+        vis_gulp = packed_corr_triu(
+            packed, interpret=jax.default_backend() == "cpu")
+    else:
+        vis_gulp = corr.correlate_gulp(packed)
 
     def _sel(flag, a, b):
         pred = jnp.asarray(flag, dtype=bool)
@@ -138,6 +145,17 @@ def fx_step_jit(state, adc, window, quant_scale, gains, subsel_pairs,
                 fast_first, fast_last, slow_first, cfg: XEngineConfig):
     return fx_step(state, adc, window, quant_scale, gains, subsel_pairs,
                    fast_first, fast_last, slow_first, cfg)
+
+
+def dense_vis(vis, cfg: XEngineConfig):
+    """Accumulator -> full Hermitian matrix (mirrors the triangular
+    engine's upper-triangle-only accumulators; identity for the dense
+    engine).  Called per dump, off the hot path."""
+    if cfg.corr_engine == "pallas_triu":
+        from ..ops.pallas.corr_triu import mirror_vis
+
+        return mirror_vis(vis)
+    return vis
 
 
 def default_inputs(cfg: XEngineConfig, seed: int = 0):

@@ -58,8 +58,14 @@ def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
         raise ValueError("nchan must be a multiple of nchan_sum")
     i0 = input_pairs[:, 0]
     i1 = input_pairs[:, 1]
-    sel_r = vis.real[:, i0, i1]  # [nchan, nvis]
-    sel_i = vis.imag[:, i0, i1]
+    # Gather from the upper triangle only (v[i0, i1] == conj(v[i1, i0])),
+    # so the selection also works on triangular-engine accumulators whose
+    # lower-triangle tiles are never computed.
+    lo = jnp.minimum(i0, i1)
+    hi = jnp.maximum(i0, i1)
+    sign = jnp.where(i0 <= i1, 1, -1).astype(jnp.int32)
+    sel_r = vis.real[:, lo, hi]  # [nchan, nvis]
+    sel_i = vis.imag[:, lo, hi] * sign
 
     def csum(x):
         return x.reshape(nchan // nchan_sum, nchan_sum, -1).sum(

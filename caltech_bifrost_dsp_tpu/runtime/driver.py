@@ -289,7 +289,7 @@ class XEnginePipeline:
             self.ndump_fast += 1
             if slow_dec.action == Action.DUMP:
                 products["vis_slow"] = correlate.vis_to_numpy_complex(
-                    self.state.vis_slow)
+                    xengine.dense_vis(self.state.vis_slow, self.cfg))
                 products["slow_seq0"] = slow_dec.seq0
                 products["slow_acc_len"] = slow_dec.acc_len
                 self.ndump_slow += 1
@@ -304,7 +304,8 @@ class XEnginePipeline:
         self._selftest_acc = (ref if is_first
                               else self._selftest_acc + ref)
         if is_dump:
-            got = correlate.vis_to_numpy_complex(self.state.vis_fast)
+            got = correlate.vis_to_numpy_complex(
+                xengine.dense_vis(self.state.vis_fast, self.cfg))
             ok = _golden.check_vis_against_golden(got, self._selftest_acc)
             self.selftest_count += 1
             if not ok:
