@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache: tunnel compiles take minutes
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 BASELINE_GBPS = 25.9  # reference real-time requirement (BASELINE.md)
 
 
