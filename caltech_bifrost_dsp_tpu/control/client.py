@@ -266,6 +266,41 @@ class CorrelatorControl:
         self.client = client
         self.pipelines = pipelines
 
+    @staticmethod
+    def autocorrs(vis_dense, nstand: int, npol: int = 2):
+        """Extract per-stand autocorrelation spectra from a dense
+        visibility matrix -> real [nstand, npol, nchan]."""
+        import numpy as np
+
+        v = np.asarray(vis_dense)
+        nchan = v.shape[0]
+        diag = np.real(v[:, np.arange(nstand * npol),
+                         np.arange(nstand * npol)])
+        return diag.T.reshape(nstand, npol, nchan)
+
+    def plot_autocorrs(self, vis_dense, nstand: int, npol: int = 2,
+                       outfile: str | None = None):
+        """Quick-look autocorrelation plot
+        (reference: lwa352_pipeline_control.py:258-295).  Requires
+        matplotlib; returns the figure."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        autos = self.autocorrs(vis_dense, nstand, npol)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for s in range(min(nstand, 16)):
+            for p in range(npol):
+                ax.semilogy(autos[s, p] + 1e-3, lw=0.7,
+                            label=f"s{s}p{p}" if s < 4 else None)
+        ax.set_xlabel("channel")
+        ax.set_ylabel("autocorrelation power")
+        ax.legend(loc="upper right", fontsize=6)
+        if outfile:
+            fig.savefig(outfile, dpi=100)
+        return fig
+
     def configure_corr(self, dest_ip="0.0.0.0", dest_port=10000,
                        max_mbps=20000, delay_s=5.0):
         for p in self.pipelines:
