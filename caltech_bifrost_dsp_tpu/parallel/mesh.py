@@ -182,6 +182,63 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     return fn
 
 
+def make_stand_mesh(n_stand: int, devices=None) -> Mesh:
+    """1-D ('stand',) mesh for the antenna-sharded correlator."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices[:n_stand]), axis_names=("stand",))
+
+
+def corr_stand_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
+    """Antenna-sharded correlation (the tensor-parallel analog).
+
+    Each device owns a contiguous slice of correlator inputs.  Computing
+    its rows of the visibility matrix needs every column, so the packed
+    voltages are ``all_gather``-ed over the 'stand' axis (SURVEY.md
+    section 2.3: "psum/all-gather for baseline partials when antennas are
+    sharded" — a collective the reference's share-nothing design never
+    required).  Output rows stay sharded: global [nchan, ninput, ninput]
+    with axis 1 on 'stand'.
+
+    Row blocks scale as 1/N while the gathered operand is all-to-one, so
+    this axis suits memory-limited scaling of the ninput^2 accumulators.
+    """
+    n_shards = mesh.shape["stand"]
+    if cfg.ninput % n_shards:
+        raise ValueError("ninput must divide the stand axis")
+
+    def shard_fn(packed_local):
+        # packed_local: uint8 [ntime, nchan, ninput / n]
+        x_all = jax.lax.all_gather(packed_local, "stand", axis=2,
+                                   tiled=True)  # [t, c, ninput]
+        from ..utils.codec import unpack_jnp
+
+        lr, li = unpack_jnp(packed_local)
+        ar, ai = unpack_jnp(x_all)
+        dn = (((0,), (0,)), ((1,), (1,)))
+
+        def xc(a, b):
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        vr = (xc(lr, ar) + xc(li, ai)).astype(jnp.int32)
+        vi = (xc(li, ar) - xc(lr, ai)).astype(jnp.int32)
+        return vr, vi  # [nchan, ninput/n, ninput]
+
+    mapped = shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(None, None, "stand"),),
+                       out_specs=(P(None, "stand", None),
+                                  P(None, "stand", None)),
+                       check_vma=False)
+
+    def fn(packed):
+        vr, vi = mapped(packed)
+        return Vis(vr, vi)
+
+    return fn
+
+
 def fx_reference_unsharded(cfg: XEngineConfig, adc, window, gains, pairs,
                            quant_scale, n_time_shards: int = 1):
     """Single-device reference of the sharded program, reproducing the

@@ -85,6 +85,23 @@ def test_fx_halo_exchange_removes_shard_seams(rng):
     assert sum(x.shape[0] for x in ref_nohalo_specs) < nspec_total
 
 
+def test_corr_stand_sharded_matches_unsharded(rng):
+    """Antenna-sharded correlator (all_gather over 'stand') vs dense."""
+    from caltech_bifrost_dsp_tpu.ops import correlate
+
+    mesh = pmesh.make_stand_mesh(4)
+    packed = jnp.asarray(rng.randint(
+        0, 255, [48, CFG.nchan, CFG.ninput]).astype(np.uint8))
+    fn = jax.jit(pmesh.corr_stand_sharded_fn(CFG, mesh))
+    with jax.set_mesh(mesh):
+        vis = fn(packed)
+        vr = np.asarray(vis.real)
+        vi = np.asarray(vis.imag)
+    ref = correlate.correlate_gulp(packed)
+    np.testing.assert_array_equal(vr, np.asarray(ref.real))
+    np.testing.assert_array_equal(vi, np.asarray(ref.imag))
+
+
 def test_xengine_sharded_matches_unsharded(rng):
     from caltech_bifrost_dsp_tpu.ops import correlate
 
