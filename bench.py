@@ -50,10 +50,10 @@ def main():
     # program on the axon tunnel backend (INVALID_ARGUMENT).
     @jax.jit
     def acc_step(state, packed, gains, pairs):
-        # one full fast accumulation + dump products per call
+        # one full fast accumulation + dump products per call; static
+        # boundary flags let XLA fold the accumulator selects
         return xengine.xengine_step(state, packed, gains, pairs,
-                                    jnp.bool_(True), jnp.bool_(True),
-                                    jnp.bool_(False), cfg)
+                                    True, True, False, cfg)
 
     probe = jax.jit(
         lambda st: jnp.sum(st.vis_slow.real[0, 0, :8])

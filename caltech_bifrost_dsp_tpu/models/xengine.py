@@ -92,6 +92,10 @@ def xengine_step(state: XEngineState,
         vis_gulp = corr.correlate_gulp(packed)
 
     def _sel(flag, a, b):
+        if isinstance(flag, bool):
+            # static flag: XLA sees only the taken branch (the driver
+            # passes python bools; saves dead accumulator traffic)
+            return a if flag else b
         pred = jnp.asarray(flag, dtype=bool)
         return Vis(jnp.where(pred, a.real, b.real),
                    jnp.where(pred, a.imag, b.imag))
@@ -110,11 +114,16 @@ def xengine_step(state: XEngineState,
             XEngineOutputs(subsel, power, vlbi))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def xengine_step_jit(state, packed, gains, subsel_pairs, fast_first,
-                     fast_last, slow_first, cfg: XEngineConfig):
-    return xengine_step(state, packed, gains, subsel_pairs, fast_first,
-                        fast_last, slow_first, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "fast_first",
+                                             "fast_last", "slow_first"))
+def xengine_step_jit(state, packed, gains, subsel_pairs, fast_first: bool,
+                     fast_last: bool, slow_first: bool,
+                     cfg: XEngineConfig):
+    """Boundary flags are *static* here (at most 8 specializations);
+    XLA folds the accumulator selects to the taken branch."""
+    return xengine_step(state, packed, gains, subsel_pairs,
+                        bool(fast_first), bool(fast_last),
+                        bool(slow_first), cfg)
 
 
 def fx_step(state: XEngineState,

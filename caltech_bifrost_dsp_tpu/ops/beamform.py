@@ -57,9 +57,11 @@ class BeamVoltages(NamedTuple):
 #: Beamform engine: "bf16x2" splits each f32 gain into a bf16 hi+lo pair
 #: and runs two single-pass bf16 MXU matmuls per product (voltages are
 #: small ints, exact in bf16), giving ~2^-16 relative accuracy — well
-#: inside the reference's rtol=1e-4 gate — at ~3x the speed of the f32
-#: HIGHEST (multi-pass) path.  "f32" keeps the HIGHEST-precision path.
-BEAMFORM_ENGINE = "bf16x2"
+#: inside the reference's rtol=1e-4 gate.  "f32" is the HIGHEST-precision
+#: multi-pass path — measured *faster* on v5e at the production shapes
+#: (the bf16x2 operand conversions dominate its matmul savings), so it is
+#: the default; bf16x2 remains available for wider-beam operating points.
+BEAMFORM_ENGINE = "f32"
 
 _BM_DN = (((2,), (2,)), ((0,), (1,)))
 

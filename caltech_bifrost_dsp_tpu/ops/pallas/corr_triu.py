@@ -40,11 +40,12 @@ def _tile_pairs(ntile: int) -> np.ndarray:
 def _kernel(ti_ref, tj_ref, a_ref, b_ref, vr_ref, vi_ref):
     """One (chan, tile-pair) instance.
 
-    a_ref/b_ref: uint8 [T, 1, TILE] packed samples for input tiles i / j.
+    a_ref/b_ref: uint8 [1, T, TILE] packed samples (chan-major layout)
+    for input tiles i / j.
     vr_ref/vi_ref: int32 [1, TILE, TILE] output visibility tile.
     """
-    a = a_ref[:, 0, :]
-    b = b_ref[:, 0, :]
+    a = a_ref[0]
+    b = b_ref[0]
     # 4+4-bit unpack (sign extension via (v ^ 8) - 8), then bf16
     ar = (((a >> 4).astype(jnp.int8) ^ 8) - 8).astype(jnp.bfloat16)
     ai = (((a & 0xF).astype(jnp.int8) ^ 8) - 8).astype(jnp.bfloat16)
@@ -82,6 +83,9 @@ def packed_corr_triu(packed: jax.Array, interpret: bool = False) -> Vis:
     if pad:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
     ni = ninput + pad
+    # chan-major layout so the blocks' trailing dims are (ntime, TILE)
+    # (Mosaic requires the last two block dims tile-aligned)
+    packed_cm = jnp.transpose(packed, (1, 0, 2))  # [C, T, I]
     ntile = ni // TILE
     pairs = _tile_pairs(ntile)
     npair = len(pairs)
@@ -92,10 +96,10 @@ def packed_corr_triu(packed: jax.Array, interpret: bool = False) -> Vis:
         num_scalar_prefetch=2,
         grid=(nchan, npair),
         in_specs=[
-            pl.BlockSpec((ntime, 1, TILE),
-                         lambda c, k, ti, tj: (0, c, ti[k])),
-            pl.BlockSpec((ntime, 1, TILE),
-                         lambda c, k, ti, tj: (0, c, tj[k])),
+            pl.BlockSpec((1, ntime, TILE),
+                         lambda c, k, ti, tj: (c, 0, ti[k])),
+            pl.BlockSpec((1, ntime, TILE),
+                         lambda c, k, ti, tj: (c, 0, tj[k])),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE, TILE),
@@ -113,7 +117,7 @@ def packed_corr_triu(packed: jax.Array, interpret: bool = False) -> Vis:
             bytes_accessed=(2 * nchan * npair * ntime * TILE
                             + 8 * nchan * npair * TILE * TILE),
             transcendentals=0),
-    )(ti, tj, packed, packed)
+    )(ti, tj, packed_cm, packed_cm)
     if pad:
         vr = vr[:, :ninput, :ninput]
         vi = vi[:, :ninput, :ninput]
