@@ -44,13 +44,14 @@ def _kernel(ti_ref, tj_ref, a_ref, b_ref, vr_ref, vi_ref):
     for input tiles i / j.
     vr_ref/vi_ref: int32 [1, TILE, TILE] output visibility tile.
     """
-    a = a_ref[0]
-    b = b_ref[0]
-    # 4+4-bit unpack (sign extension via (v ^ 8) - 8), then bf16
-    ar = (((a >> 4).astype(jnp.int8) ^ 8) - 8).astype(jnp.bfloat16)
-    ai = (((a & 0xF).astype(jnp.int8) ^ 8) - 8).astype(jnp.bfloat16)
-    br = (((b >> 4).astype(jnp.int8) ^ 8) - 8).astype(jnp.bfloat16)
-    bi = (((b & 0xF).astype(jnp.int8) ^ 8) - 8).astype(jnp.bfloat16)
+    # 4+4-bit unpack (sign extension via (v ^ 8) - 8) in int32 lanes —
+    # Mosaic rejects sub-word shifts/xor on (u)int8 vectors — then bf16.
+    a = a_ref[0].astype(jnp.int32)
+    b = b_ref[0].astype(jnp.int32)
+    ar = (((a >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+    ai = (((a & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+    br = (((b >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+    bi = (((b & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
 
     dn = (((0,), (0,)), ((), ()))  # contract T, no batch
 
