@@ -1,0 +1,86 @@
+"""Single-chip FX benchmark: raw ADC -> PFB -> 4-bit requant -> full
+X-engine (the BASELINE.json north-star configuration, which includes the
+channelization stage the reference delegates to FPGAs).
+
+Prints one JSON line with the sustained ADC input rate in Msamples/s per
+input and the equivalent aggregate rate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="FX single-chip benchmark")
+    p.add_argument("--nspec", type=int, default=2400,
+                   help="spectra per device call (one fast accumulation)")
+    p.add_argument("--niter", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from ..config import LWA352
+    from ..models import xengine
+    from ..ops import pfb as pfb_ops
+
+    cfg = LWA352
+    state, _, gains, pairs = xengine.default_inputs(cfg)
+    rng = np.random.RandomState(0)
+    nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan
+    adc = jnp.asarray((rng.standard_normal([nadc, cfg.ninput]) * 3)
+                      .astype(np.float32))
+    window = jnp.asarray(pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
+
+    @jax.jit
+    def step(state, adc, window, gains, pairs):
+        return xengine.fx_step(state, adc, window, jnp.float32(0.5),
+                               gains, pairs, True, True, False, cfg)
+
+    probe = jax.jit(lambda st: jnp.sum(st.vis_fast.real[0, 0, :8]))
+
+    def fetch(st):
+        return float(np.asarray(jax.device_get(probe(st))))
+
+    state, out = step(state, adc, window, gains, pairs)
+    fetch(state)
+    t0 = time.perf_counter()
+    state, out = step(state, adc, window, gains, pairs)
+    fetch(state)
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.niter):
+        state, out = step(state, adc, window, gains, pairs)
+    fetch(state)
+    per_call = max((time.perf_counter() - t0 - overhead)
+                   / (args.niter - 1), 1e-9)
+
+    adc_samples = args.nspec * 2 * cfg.nchan  # per input
+    msps_per_input = adc_samples / per_call / 1e6
+    sky_seconds = adc_samples / cfg.fs_hz * (cfg.npipeline)
+    # real-time bar: fs/npipeline ADC samples/s per input reach this
+    # pipeline's 192 channels
+    realtime_msps = cfg.fs_hz / cfg.npipeline / 1e6
+    print(json.dumps({
+        "metric": "fx_adc_rate_per_input",
+        "value": round(msps_per_input, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps_per_input / realtime_msps, 3),
+        "aggregate_gsps": round(msps_per_input * cfg.ninput / 1e3, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
