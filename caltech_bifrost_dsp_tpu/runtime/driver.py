@@ -149,6 +149,49 @@ class SubselCommandBlock(CommandBlock):
         return True
 
 
+class OutputCommandBlock(CommandBlock):
+    """Destination/throttle endpoint for a packet sink
+    (command keys per reference: corr_output_full_block.py:412-415).
+
+    ``dest_ip == "0.0.0.0"`` disables emission; changes rebuild the
+    sink's sender at the next product (reference semantics: applied on
+    the data path at dump boundaries)."""
+
+    def __init__(self, name: str, sink_obj, store=None,
+                 dest_port: int = 10001):
+        super().__init__(name, store=store)
+        self.sink = sink_obj
+        self.define_command_key("dest_ip", type=str, initial_val="0.0.0.0")
+        self.define_command_key("dest_port", type=int,
+                                initial_val=dest_port)
+        self.define_command_key("dest_file", type=str, initial_val="")
+        self.define_command_key("max_mbps", type=int, initial_val=-1)
+
+    def apply_pending(self):
+        if not self.update_pending:
+            return
+        self.update_command_vals()
+        ip = self.command_vals["dest_ip"]
+        port = self.command_vals["dest_port"]
+        dest_file = self.command_vals["dest_file"]
+        from ..io.sink import Throttle, UdpSender
+
+        if dest_file:
+            fh = open(dest_file, "ab", buffering=0)
+
+            def send(payload, _fh=fh):
+                _fh.write(payload)
+
+            self.sink.send = send
+        elif ip and ip != "0.0.0.0":
+            self.sink.send = UdpSender(ip, port)
+        else:
+            self.sink.send = None
+        mbps = self.command_vals["max_mbps"]
+        if hasattr(self.sink, "throttle"):
+            self.sink.throttle = Throttle(mbps * 1e6 if mbps > 0 else None)
+
+
 class TriggeredDumpCommandBlock(CommandBlock):
     """Trigger/abort/stop endpoint for the deep-buffer dump
     (command keys per reference: triggered_dump_block.py:164-169)."""
@@ -244,6 +287,14 @@ class XEnginePipeline:
             self.dumper = TriggeredDump(self.history)
             self.dump_cmd = TriggeredDumpCommandBlock(self.dumper,
                                                       store=store)
+        # runtime destination control for the primary sinks
+        self.output_cmds = []
+        for name, sinks in (("CorrOutputFull", self.corr_outputs),
+                            ("CorrOutputPart", self.subsel_outputs),
+                            ("BeamformVlbiOutput", self.ibeam_outputs)):
+            for s in sinks:
+                self.output_cmds.append(OutputCommandBlock(name, s,
+                                                           store=store))
         self.out_queue: queue.Queue = queue.Queue(maxsize=8)
         self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
@@ -408,6 +459,8 @@ class XEnginePipeline:
             item = self.out_queue.get()
             if item is None:
                 return
+            for oc in self.output_cmds:
+                oc.apply_pending()
             for snk in self.pbeam_outputs:
                 snk.send_powers(item["bf_power"], item["seq0"],
                                 cfg.ntime_sum)

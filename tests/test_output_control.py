@@ -1,0 +1,53 @@
+"""Runtime output-destination control (dest_ip/dest_file/max_mbps)."""
+
+import numpy as np
+
+from caltech_bifrost_dsp_tpu import config as cfgmod
+from caltech_bifrost_dsp_tpu.control.client import (CorrControlClient,
+                                                    PipelineControl)
+from caltech_bifrost_dsp_tpu.control.store import MemoryStore
+from caltech_bifrost_dsp_tpu.io import packets as pk
+from caltech_bifrost_dsp_tpu.io import sink, source
+from caltech_bifrost_dsp_tpu.runtime.driver import XEnginePipeline
+
+CFG = cfgmod.TINY
+
+
+def test_dest_file_redirect(tmp_path):
+    """Route slow-corr packets to a file via the control plane (the
+    DiskWriter analog, corr_output_full_block.py dest_file key)."""
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    corr_out = sink.CorrFullOutput(CFG, send=None)
+    pipe = XEnginePipeline(CFG, src, store=store,
+                           corr_outputs=[corr_out])
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    outfile = str(tmp_path / "cor.dat")
+    ctl.corr_output_full.set_dest_file(outfile)
+    ngulp = 2 * CFG.acc_len_slow // CFG.ntime_gulp
+    pipe.run(ngulp, timeout_s=180)
+    assert pipe.ndump_slow == 2
+    # the file holds back-to-back COR packets; parse the first
+    raw = open(outfile, "rb").read()
+    nbl = CFG.nstand * (CFG.nstand + 1) // 2
+    pkt_size = 56 + CFG.npol * CFG.npol * CFG.nchan * 2 * 4
+    assert len(raw) == 2 * nbl * pkt_size
+    hdr, data = pk.decode_corr_full(raw[:pkt_size])
+    assert hdr.stand0 == 0 and hdr.stand1 == 0
+    assert hdr.acc_len == CFG.acc_len_slow
+
+
+def test_disable_with_zero_ip():
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    pkts = []
+    corr_out = sink.CorrFullOutput(CFG, send=pkts.append)
+    pipe = XEnginePipeline(CFG, src, store=store,
+                          corr_outputs=[corr_out])
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    ctl.corr_output_full.set_destination("0.0.0.0", 1)
+    pipe.run(CFG.acc_len_slow // CFG.ntime_gulp, timeout_s=180)
+    assert pipe.ndump_slow == 1
+    assert pkts == []  # emission disabled
