@@ -95,8 +95,12 @@ def _xcorr_planes(xr, xi, engine: str | None = None):
                 a, b, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
 
+        # 3 matmuls, not 4: both cross terms come from ONE product —
+        # C[c,i,j] = sum_t ar[t,c,i] ai[t,c,j] satisfies
+        # V_im = C^T - C (the imaginary part is antisymmetric).
         vr = xc(ar, ar) + xc(ai, ai)
-        vi = xc(ai, ar) - xc(ar, ai)
+        c = xc(ar, ai)
+        vi = jnp.swapaxes(c, 1, 2) - c
         return Vis(vr.astype(jnp.int32), vi.astype(jnp.int32))
 
     def xc(a, b):
