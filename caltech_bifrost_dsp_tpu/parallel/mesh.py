@@ -182,6 +182,60 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     return fn
 
 
+def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
+                             fast_first: bool, fast_last: bool,
+                             slow_first: bool):
+    """Stateful sharded fused step: the multi-chip analog of
+    ``models.xengine.xengine_step``.
+
+    Accumulator state (fast/slow Vis) lives chan-sharded on the mesh and
+    never moves; per-gulp partial visibilities psum over the 'time' axis
+    before accumulation.  Boundary flags are baked per-variant (the host
+    driver selects the jitted variant, exactly like the single-chip
+    static-flag specialization).
+
+    Global shapes: state planes [nchan, ninput, ninput] (chan-sharded);
+    packed [ntime, nchan, ninput] ([time, chan]-sharded); gains
+    chan-sharded; outputs as in FxOutputs plus the new state.
+    """
+    def shard_fn(fr, fi, sr, si, packed, gains_r, gains_i, pairs):
+        vis_part = corr.correlate_gulp(packed)
+        vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
+                       jax.lax.psum(vis_part.imag, "time"))
+        fast = vis_gulp if fast_first else Vis(fr + vis_gulp.real,
+                                               fi + vis_gulp.imag)
+        if fast_last:
+            slow = fast if slow_first else Vis(sr + fast.real,
+                                               si + fast.imag)
+        else:
+            slow = Vis(sr, si)
+        subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
+        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+        power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        return (fast.real, fast.imag, slow.real, slow.imag,
+                subsel.real, subsel.imag, power)
+
+    vis_spec = P("chan", None, None)
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
+                  P("time", "chan", None),
+                  P("chan", None, None), P("chan", None, None), P()),
+        out_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
+                   P("chan", None), P("chan", None),
+                   P(None, "time", "chan", None)),
+        check_vma=False)
+
+    def fn(state, packed, gains: bf.BeamGains, pairs):
+        fr, fi, sr, si, subr, subi, power = mapped(
+            state[0].real, state[0].imag, state[1].real, state[1].imag,
+            packed, gains.real, gains.imag, pairs)
+        return ((Vis(fr, fi), Vis(sr, si)),
+                FxOutputs(Vis(fr, fi), Vis(subr, subi), power))
+
+    return fn
+
+
 def make_stand_mesh(n_stand: int, devices=None) -> Mesh:
     """1-D ('stand',) mesh for the antenna-sharded correlator."""
     devices = list(devices if devices is not None else jax.devices())

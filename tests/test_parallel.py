@@ -85,6 +85,44 @@ def test_fx_halo_exchange_removes_shard_seams(rng):
     assert sum(x.shape[0] for x in ref_nohalo_specs) < nspec_total
 
 
+def test_xengine_sharded_stateful_stream(rng):
+    """Drive a full fast accumulation through the stateful sharded step
+    (2 gulps) and compare fast/slow/subsel against the single-device
+    fused step."""
+    from caltech_bifrost_dsp_tpu.models import xengine
+
+    cfg = CFG
+    mesh = pmesh.make_mesh(2, 4)
+    ntime = 2 * cfg.ntime_sum * 2  # per-gulp global spectra (div by mesh)
+    gulps = [jnp.asarray(rng.randint(
+        0, 255, [ntime, cfg.nchan, cfg.ninput]).astype(np.uint8))
+        for _ in range(2)]
+    _, _, gains, pairs = xengine.default_inputs(cfg)
+    step_mid = jax.jit(pmesh.xengine_sharded_state_fn(
+        cfg, mesh, fast_first=True, fast_last=False, slow_first=True))
+    step_end = jax.jit(pmesh.xengine_sharded_state_fn(
+        cfg, mesh, fast_first=False, fast_last=True, slow_first=True))
+    from caltech_bifrost_dsp_tpu.ops.correlate import zero_vis
+
+    state = (zero_vis(cfg.nchan, cfg.ninput),
+             zero_vis(cfg.nchan, cfg.ninput))
+    with jax.set_mesh(mesh):
+        state, out1 = step_mid(state, gulps[0], gains, pairs)
+        state, out2 = step_end(state, gulps[1], gains, pairs)
+        fast_r = np.asarray(state[0].real)
+        slow_r = np.asarray(state[1].real)
+        sub_r = np.asarray(out2.subsel.real)
+    # single-device reference
+    ref_state = xengine.init_state(cfg)
+    ref_state, _ = xengine.xengine_step_jit(
+        ref_state, gulps[0], gains, pairs, True, False, True, cfg)
+    ref_state, ref_out = xengine.xengine_step_jit(
+        ref_state, gulps[1], gains, pairs, False, True, True, cfg)
+    np.testing.assert_array_equal(fast_r, np.asarray(ref_state.vis_fast.real))
+    np.testing.assert_array_equal(slow_r, np.asarray(ref_state.vis_slow.real))
+    np.testing.assert_array_equal(sub_r, np.asarray(ref_out.subsel.real))
+
+
 def test_corr_stand_sharded_matches_unsharded(rng):
     """Antenna-sharded correlator (all_gather over 'stand') vs dense."""
     from caltech_bifrost_dsp_tpu.ops import correlate
