@@ -53,6 +53,9 @@ class XEngineConfig:
     # fused-unpack upper-triangular Pallas kernel (accumulators then hold
     # only the upper triangle; consumers mirror at dump time).
     corr_engine: str = "xla"
+    # PFB spectral transform: "fft" (XLA rfft) or "matmul" (real DFT as
+    # two MXU matmuls; needed where the backend's AOT compiler lacks FFT)
+    pfb_fft_impl: str = "fft"
 
     def __post_init__(self):
         if self.acc_len % self.ntime_gulp != 0:
@@ -75,6 +78,9 @@ class XEngineConfig:
             raise ValueError("nbeam must be even (beams pair into X/Y pols)")
         if self.corr_engine not in ("xla", "pallas_triu"):
             raise ValueError(f"unknown corr_engine {self.corr_engine!r}")
+        if self.pfb_fft_impl not in ("fft", "matmul"):
+            raise ValueError(
+                f"unknown pfb_fft_impl {self.pfb_fft_impl!r}")
 
     # ---- derived quantities -------------------------------------------------
 

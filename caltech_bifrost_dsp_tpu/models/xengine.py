@@ -143,7 +143,8 @@ def fx_step(state: XEngineState,
       window: f32 [pfb_ntap, 2*nchan] PFB prototype filter.
       quant_scale: f32 scalar requantization gain.
     """
-    spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan, cfg.pfb_ntap)
+    spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan, cfg.pfb_ntap,
+                                  fft_impl=cfg.pfb_fft_impl)
     packed = pfb_ops.quantize_4bit(spec, quant_scale)  # [ntime, nchan, nin]
     return xengine_step(state, packed, gains, subsel_pairs, fast_first,
                         fast_last, slow_first, cfg)

@@ -56,9 +56,20 @@ def required_ntime(nspec: int, nchan: int, ntap: int) -> int:
     return (nspec + ntap - 1) * 2 * nchan
 
 
-@functools.partial(jax.jit, static_argnames=("nchan", "ntap"))
+def rdft_matrices(nchan: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-input DFT as two f32 matrices [2*nchan, nchan]:
+    X[k] = sum_n x[n] (cos - i sin)(2 pi n k / 2 nchan), k < nchan."""
+    L = 2 * nchan
+    n = np.arange(L)[:, None]
+    k = np.arange(nchan)[None, :]
+    ang = 2 * np.pi * n * k / L
+    return (np.cos(ang).astype(np.float32),
+            -np.sin(ang).astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("nchan", "ntap", "fft_impl"))
 def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
-                   ntap: int) -> jax.Array:
+                   ntap: int, fft_impl: str = "fft") -> jax.Array:
     """Critically-sampled real-input PFB.
 
     Args:
@@ -88,6 +99,18 @@ def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
     tiles = frames[idx]
     w = window.reshape((1, ntap, L) + (1,) * len(tail))
     fir = jnp.sum(tiles * w, axis=1)          # [nspec, L, ...]
+    if fft_impl == "matmul":
+        # Real DFT as two MXU matmuls — avoids the FFT lowering (the
+        # axon AOT compile helper rejects it) and vectorizes over all
+        # trailing axes at once.
+        cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
+        fir2 = jnp.moveaxis(fir, 1, -1)       # [nspec, ..., L]
+        re = jnp.matmul(fir2, cos_m,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.matmul(fir2, msin_m,
+                        precision=jax.lax.Precision.HIGHEST)
+        spec = jnp.moveaxis(re + 1j * im, -1, 1)
+        return spec.astype(jnp.complex64)
     spec = jnp.fft.rfft(fir, axis=1)          # [nspec, nchan+1, ...]
     return spec[:, :nchan].astype(jnp.complex64)
 

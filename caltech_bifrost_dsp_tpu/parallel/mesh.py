@@ -62,7 +62,8 @@ class FxOutputs(NamedTuple):
 
 
 def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
-                   ntap: int, axis: str) -> jax.Array:
+                   ntap: int, axis: str,
+                   fft_impl: str = "fft") -> jax.Array:
     """Overlap-save PFB across time shards.
 
     Each shard prepends the (ntap-1) boundary frames of its left neighbor
@@ -74,7 +75,8 @@ def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
     L = 2 * nchan
     halo_n = (ntap - 1) * L
     if halo_n == 0:
-        return pfb_ops.pfb_channelize(adc_local, window, nchan, ntap)
+        return pfb_ops.pfb_channelize(adc_local, window, nchan, ntap,
+                                        fft_impl=fft_impl)
     n_shard = jax.lax.axis_size(axis)
     tail = adc_local[-halo_n:]
     perm = [(i, (i + 1) % n_shard) for i in range(n_shard)]
@@ -83,7 +85,8 @@ def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
     is_first = jax.lax.axis_index(axis) == 0
     halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
     adc_ext = jnp.concatenate([halo, adc_local], axis=0)
-    return pfb_ops.pfb_channelize(adc_ext, window, nchan, ntap)
+    return pfb_ops.pfb_channelize(adc_ext, window, nchan, ntap,
+                                    fft_impl=fft_impl)
 
 
 def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
@@ -111,7 +114,7 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     def shard_fn(adc_local, window, gains_r, gains_i, pairs, quant_scale):
         # adc_local: [T_local, ninput / n_chan_shards]
         spec = _pfb_with_halo(adc_local, window, cfg.nchan, cfg.pfb_ntap,
-                              "time")                    # [S, nchan, nin_l]
+                              "time", fft_impl=cfg.pfb_fft_impl)                    # [S, nchan, nin_l]
         # F->X corner-turn: split channels, gather inputs.
         if n_chan_shards > 1:
             spec = jax.lax.all_to_all(spec, "chan", split_axis=1,
@@ -310,7 +313,8 @@ def fx_reference_unsharded(cfg: XEngineConfig, adc, window, gains, pairs,
                 if s == 0 else adc[lo - halo_n:lo])
         ext = jnp.concatenate([halo, chunk], axis=0)
         specs.append(pfb_ops.pfb_channelize(ext, window, cfg.nchan,
-                                            cfg.pfb_ntap))
+                                            cfg.pfb_ntap,
+                                            fft_impl=cfg.pfb_fft_impl))
     spec = jnp.concatenate(specs, axis=0)
     packed = pfb_ops.quantize_4bit(spec, quant_scale)
     vis = corr.correlate_gulp(packed)

@@ -36,6 +36,18 @@ def test_pfb_tone_lands_in_right_channel():
     assert others.max() < power[k] * 1e-3
 
 
+def test_matmul_dft_matches_fft(rng):
+    nspec = 4
+    ntime = pfb.required_ntime(nspec, NCHAN, NTAP)
+    x = rng.standard_normal([ntime, 3]).astype(np.float32)
+    win = pfb.pfb_window(NCHAN, NTAP)
+    a = np.asarray(pfb.pfb_channelize(jnp.asarray(x), jnp.asarray(win),
+                                      NCHAN, NTAP, fft_impl="fft"))
+    b = np.asarray(pfb.pfb_channelize(jnp.asarray(x), jnp.asarray(win),
+                                      NCHAN, NTAP, fft_impl="matmul"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
 def test_boxcar_single_tap_is_plain_fft(rng):
     """ntap=1 boxcar PFB must reduce to a blockwise rFFT."""
     nspec = 4
