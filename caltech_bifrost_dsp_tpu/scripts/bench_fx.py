@@ -29,13 +29,17 @@ def main(argv=None) -> int:
     p.add_argument("--nspec", type=int, default=2400,
                    help="spectra per device call (one fast accumulation)")
     p.add_argument("--niter", type=int, default=10)
+    p.add_argument("--fft-impl", type=str, default="matmul",
+                   choices=["fft", "matmul"],
+                   help="matmul by default: the axon AOT helper rejects "
+                        "the FFT lowering")
     args = p.parse_args(argv)
 
     from ..config import LWA352
     from ..models import xengine
     from ..ops import pfb as pfb_ops
 
-    cfg = LWA352
+    cfg = LWA352.replace(pfb_fft_impl=args.fft_impl)
     state, _, gains, pairs = xengine.default_inputs(cfg)
     rng = np.random.RandomState(0)
     nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan
