@@ -115,7 +115,15 @@ def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
     return spec[:, :nchan].astype(jnp.complex64)
 
 
-def upchannelize(x: jax.Array, nup: int, axis_time: int = 0) -> jax.Array:
+def cdft_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Complex DFT as two f32 matrices [n, n] (cos, -sin)."""
+    k = np.arange(n)
+    ang = 2 * np.pi * np.outer(k, k) / n
+    return np.cos(ang).astype(np.float32), -np.sin(ang).astype(np.float32)
+
+
+def upchannelize(x: jax.Array, nup: int, axis_time: int = 0,
+                 fft_impl: str = "fft") -> jax.Array:
     """Blockwise (zero-overlap) fine channelization.
 
     Reshapes time into (time, fine_time=nup) frames, FFTs over the fine
@@ -136,7 +144,18 @@ def upchannelize(x: jax.Array, nup: int, axis_time: int = 0) -> jax.Array:
     if ntime % nup:
         raise ValueError("ntime must be a multiple of nup")
     frames = x.reshape((ntime // nup, nup) + x.shape[1:])
-    fine = jnp.fft.fft(frames, axis=1)
+    if fft_impl == "matmul":
+        cos_m, msin_m = (jnp.asarray(m) for m in cdft_matrices(nup))
+        fr = jnp.moveaxis(jnp.real(frames), 1, -1)
+        fi = jnp.moveaxis(jnp.imag(frames), 1, -1)
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(fr, cos_m, precision=hp) \
+            - jnp.matmul(fi, msin_m, precision=hp)
+        im = jnp.matmul(fr, msin_m, precision=hp) \
+            + jnp.matmul(fi, cos_m, precision=hp)
+        fine = jnp.moveaxis(re + 1j * im, -1, 1)
+    else:
+        fine = jnp.fft.fft(frames, axis=1)
     fine = jnp.fft.fftshift(fine, axes=1)
     return fine.astype(jnp.complex64)
 

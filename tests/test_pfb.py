@@ -70,6 +70,16 @@ def test_upchannelize_blockwise_fft(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_upchannelize_matmul_matches_fft(rng):
+    nup = 8
+    x = (rng.standard_normal([32, 3]) + 1j * rng.standard_normal([32, 3])
+         ).astype(np.complex64)
+    a = np.asarray(pfb.upchannelize(jnp.asarray(x), nup, fft_impl="fft"))
+    b = np.asarray(pfb.upchannelize(jnp.asarray(x), nup,
+                                    fft_impl="matmul"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_quantize_4bit_roundtrip_small_ints():
     z = np.array([[1 + 2j, -8 - 8j, 7 + 7j, 0.4 - 0.4j]], dtype=np.complex64)
     packed = np.asarray(pfb.quantize_4bit(jnp.asarray(z)))
