@@ -143,9 +143,16 @@ def fx_step(state: XEngineState,
       window: f32 [pfb_ntap, 2*nchan] PFB prototype filter.
       quant_scale: f32 scalar requantization gain.
     """
-    spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan, cfg.pfb_ntap,
-                                  fft_impl=cfg.pfb_fft_impl)
-    packed = pfb_ops.quantize_4bit(spec, quant_scale)  # [ntime, nchan, nin]
+    if cfg.pfb_fft_impl == "matmul":
+        # complex-free path (some AOT backends reject complex HLO)
+        re, im = pfb_ops.pfb_channelize_planes(adc, window, cfg.nchan,
+                                               cfg.pfb_ntap)
+        packed = pfb_ops.quantize_4bit_planes(re, im, quant_scale)
+    else:
+        spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan,
+                                      cfg.pfb_ntap,
+                                      fft_impl=cfg.pfb_fft_impl)
+        packed = pfb_ops.quantize_4bit(spec, quant_scale)
     return xengine_step(state, packed, gains, subsel_pairs, fast_first,
                         fast_last, slow_first, cfg)
 

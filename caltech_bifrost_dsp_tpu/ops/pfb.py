@@ -122,6 +122,46 @@ def cdft_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), -np.sin(ang).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("nchan", "ntap"))
+def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
+                          ntap: int) -> tuple[jax.Array, jax.Array]:
+    """Complex-free PFB: returns (re, im) f32 planes [nspec, nchan, ...].
+
+    Uses the matmul real-DFT so no complex dtype ever exists — some AOT
+    backends (the axon compile helper) reject complex HLO outright.
+    """
+    L = 2 * nchan
+    ntime = x.shape[0]
+    if ntime % L:
+        raise ValueError("ntime must be a multiple of 2*nchan")
+    nframe = ntime // L
+    nspec = nframe - (ntap - 1)
+    if nspec <= 0:
+        raise ValueError("not enough samples for one spectrum")
+    tail = x.shape[1:]
+    frames = x.reshape((nframe, L) + tail)
+    idx = jnp.arange(nspec)[:, None] + jnp.arange(ntap)[None, :]
+    tiles = frames[idx]
+    w = window.reshape((1, ntap, L) + (1,) * len(tail))
+    fir = jnp.sum(tiles * w, axis=1)          # [nspec, L, ...]
+    cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
+    fir2 = jnp.moveaxis(fir, 1, -1)           # [nspec, ..., L]
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.moveaxis(jnp.matmul(fir2, cos_m, precision=hp), -1, 1)
+    im = jnp.moveaxis(jnp.matmul(fir2, msin_m, precision=hp), -1, 1)
+    return re, im
+
+
+def quantize_4bit_planes(re: jax.Array, im: jax.Array,
+                         scale: float = 1.0) -> jax.Array:
+    """Complex-free version of :func:`quantize_4bit`."""
+    from ..utils.codec import pack_jnp
+
+    r = jnp.clip(jnp.round(re * scale), -8, 7).astype(jnp.int8)
+    i = jnp.clip(jnp.round(im * scale), -8, 7).astype(jnp.int8)
+    return pack_jnp(r, i)
+
+
 def upchannelize(x: jax.Array, nup: int, axis_time: int = 0,
                  fft_impl: str = "fft") -> jax.Array:
     """Blockwise (zero-overlap) fine channelization.

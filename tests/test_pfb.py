@@ -70,6 +70,25 @@ def test_upchannelize_blockwise_fft(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_planes_pfb_matches_complex(rng):
+    nspec = 4
+    ntime = pfb.required_ntime(nspec, NCHAN, NTAP)
+    x = rng.standard_normal([ntime, 3]).astype(np.float32)
+    win = pfb.pfb_window(NCHAN, NTAP)
+    z = np.asarray(pfb.pfb_channelize(jnp.asarray(x), jnp.asarray(win),
+                                      NCHAN, NTAP))
+    re, im = pfb.pfb_channelize_planes(jnp.asarray(x), jnp.asarray(win),
+                                       NCHAN, NTAP)
+    np.testing.assert_allclose(np.asarray(re), z.real, rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im), z.imag, rtol=1e-4,
+                               atol=1e-3)
+    # packed requant agrees between the two paths
+    a = np.asarray(pfb.quantize_4bit(jnp.asarray(z), 0.5))
+    b = np.asarray(pfb.quantize_4bit_planes(re, im, 0.5))
+    assert (a == b).mean() > 0.999  # rounding ties at f32 epsilon
+
+
 def test_upchannelize_matmul_matches_fft(rng):
     nup = 8
     x = (rng.standard_normal([32, 3]) + 1j * rng.standard_normal([32, 3])
