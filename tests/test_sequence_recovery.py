@@ -1,0 +1,55 @@
+"""End-to-end sequence-break recovery: after an upstream discontinuity
+(packet loss / timestamp jump) the pipeline re-arms at
+last_start + (missed+margin)*acc_len and keeps integrating — the
+reference's core recovery invariant (corr_block.py:360-372)."""
+
+import threading
+
+import numpy as np
+
+from caltech_bifrost_dsp_tpu import config as cfgmod
+from caltech_bifrost_dsp_tpu.io import source
+from caltech_bifrost_dsp_tpu.runtime.driver import XEnginePipeline
+
+CFG = cfgmod.TINY  # gulp 48, acc 240, slow 480
+
+
+def test_pipeline_recovers_after_sequence_break():
+    src = source.DummySource(CFG, mode="random")
+    pipe = XEnginePipeline(CFG, src, autostartat=0)
+
+    g = CFG.ntime_gulp
+    nacc_gulps = CFG.acc_len // g
+
+    def ingest():
+        # sequence 1: exactly one full accumulation starting at 0
+        seq = pipe.staging.begin_sequence(1, src.header(seq0=0))
+        for i in range(nacc_gulps):
+            pipe.staging.write_span(seq, src.gulp(i))
+        pipe.staging.end_sequence(seq)
+        # gap: stream resumes far in the future
+        gap_start = 10_000 * g
+        seq2 = pipe.staging.begin_sequence(2, src.header(seq0=gap_start))
+        # recovery start = 0 + (missed//acc + 10) * acc
+        missed_accs = gap_start // CFG.acc_len
+        recover = (missed_accs + 10) * CFG.acc_len
+        ngulp2 = (recover - gap_start) // g + 2 * nacc_gulps
+        for i in range(ngulp2):
+            pipe.staging.write_span(seq2, src.gulp(i))
+        pipe.staging.end_sequence(seq2)
+        pipe.staging.shutdown()
+
+    threads = [threading.Thread(target=ingest, daemon=True),
+               threading.Thread(target=pipe._compute, daemon=True),
+               threading.Thread(target=pipe._output, daemon=True)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive()
+
+    # 1 dump before the break + 2 after recovery
+    assert pipe.ndump_fast == 3
+    # and the recovery start matches the reference arithmetic
+    missed_accs = (10_000 * g) // CFG.acc_len
+    assert pipe.fast_ctrl.start_time == (missed_accs + 10) * CFG.acc_len
