@@ -56,6 +56,14 @@ def load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_long, ctypes.c_int]
+    lib.cbd_cor_send_matrix.restype = ctypes.c_int64
+    lib.cbd_cor_send_matrix.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_double, ctypes.c_char_p]
     _lib = lib
     return lib
 
@@ -120,6 +128,34 @@ class NativeCapture:
             self.close()
         except Exception:
             pass
+
+
+def cor_send_matrix(vis_re: np.ndarray, vis_im: np.ndarray, nstand: int,
+                    npol: int, sync_time: int, spectra_id: int,
+                    bw_hz: float, sfreq_hz: float, acc_len: int,
+                    chan0: int, dest_ip: str = "", port: int = 0,
+                    max_mbps: float = -1.0,
+                    dump_path: str | None = None) -> int:
+    """Packetize + emit a dense visibility matrix as COR packets in C++
+    (the high-rate path; ~50x the Python packetizer).
+
+    vis_re/vis_im: int32 [nchan, ninput, ninput] dense planes.
+    Either (dest_ip, port) for UDP or dump_path for file output.
+    """
+    lib = load()
+    vis_re = np.ascontiguousarray(vis_re, np.int32)
+    vis_im = np.ascontiguousarray(vis_im, np.int32)
+    nchan = vis_re.shape[0]
+    sent = lib.cbd_cor_send_matrix(
+        dest_ip.encode(), port,
+        vis_re.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vis_im.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nchan, nstand, npol, sync_time, spectra_id, bw_hz, sfreq_hz,
+        acc_len, chan0, max_mbps,
+        dump_path.encode() if dump_path else None)
+    if sent < 0:
+        raise OSError("native COR send failed")
+    return int(sent)
 
 
 def transmit_gulp(dest_ip: str, port: int, data: np.ndarray, seq0: int,

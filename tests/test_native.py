@@ -69,6 +69,46 @@ def test_loopback_with_deliberate_loss():
         np.testing.assert_array_equal(data[mask], want[mask])
 
 
+def test_native_cor_packetizer_matches_python(tmp_path):
+    """C++ COR packetizer output must be byte-identical to the Python
+    encoder's packets for the same matrix."""
+    import jax.numpy as jnp
+
+    from caltech_bifrost_dsp_tpu.io import packets as pkmod
+    from caltech_bifrost_dsp_tpu.io import sink
+    from caltech_bifrost_dsp_tpu.ops import correlate
+    from caltech_bifrost_dsp_tpu.verification import golden
+
+    cfg = CFG
+    block = next(golden.generate_input_blocks(
+        cfg.ntime_gulp, cfg.nchan, cfg.nstand, cfg.npol, cfg.ntime_gulp))
+    vis = correlate.correlate_gulp(jnp.asarray(
+        block.reshape(cfg.ntime_gulp, cfg.nchan, cfg.ninput)))
+    # python packets
+    py_pkts = []
+    out = sink.CorrFullOutput(cfg, send=py_pkts.append)
+    dense = correlate.vis_to_numpy_complex(vis)
+    out.send_matrix(dense, sync_time=7, spectra_id=480,
+                    acc_len=cfg.ntime_gulp)
+    # native packets to file
+    path = str(tmp_path / "cor.bin")
+    n = native.cor_send_matrix(
+        np.asarray(vis.real), np.asarray(vis.imag), cfg.nstand, cfg.npol,
+        sync_time=7, spectra_id=480,
+        bw_hz=cfg.nchan * cfg.chan_bw_hz, sfreq_hz=cfg.sfreq_hz,
+        acc_len=cfg.ntime_gulp, chan0=cfg.chan0, dump_path=path)
+    assert n == len(py_pkts)
+    raw = open(path, "rb").read()
+    pkt_size = len(py_pkts[0])
+    assert len(raw) == n * pkt_size
+    for k, want in enumerate(py_pkts):
+        got = raw[k * pkt_size:(k + 1) * pkt_size]
+        assert got == want, f"packet {k} differs"
+    # and it decodes
+    hdr, data = pkmod.decode_corr_full(raw[:pkt_size])
+    assert hdr.spectra_id == 480
+
+
 def test_throughput_localhost():
     """Sanity rate check: native loopback should move >1 Gb/s easily."""
     import time
