@@ -19,7 +19,6 @@ is measured and subtracted.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import functools
 import json
 import time
 
