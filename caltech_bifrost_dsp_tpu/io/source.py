@@ -130,6 +130,47 @@ class DummySource:
             yield seq0 + i * self.cfg.ntime_gulp, self.gulp(i)
 
 
+class ADCSource:
+    """Raw ADC sample generator for the FX (channelizer-included) mode.
+
+    Emits f32 gulps of ``ntime_gulp * 2 * nchan`` ADC samples per
+    correlator gulp, [nsamp, ninput].  Modes: 'noise', or 'tone' placing
+    a sinusoid in channel ``tone_chan`` on every input.
+    """
+
+    def __init__(self, cfg: XEngineConfig, mode: str = "noise",
+                 tone_chan: int = 5, amplitude: float = 4.0,
+                 seed: int = 0xF00D):
+        self.cfg = cfg
+        self.mode = mode
+        self.tone_chan = tone_chan
+        self.amplitude = amplitude
+        self._rng = np.random.RandomState(seed)
+        self.samples_per_gulp = cfg.ntime_gulp * 2 * cfg.nchan
+
+    def header(self, seq0: int = 0, **kw) -> dict:
+        h = sequence_header(self.cfg, seq0, **kw)
+        h["nbit"] = 32
+        h["adc"] = True
+        return h
+
+    def gulp(self, index: int) -> np.ndarray:
+        cfg = self.cfg
+        n = self.samples_per_gulp
+        if self.mode == "tone":
+            t = np.arange(index * n, (index + 1) * n, dtype=np.float64)
+            x = self.amplitude * np.cos(
+                2 * np.pi * self.tone_chan / (2 * cfg.nchan) * t)
+            return np.broadcast_to(
+                x[:, None].astype(np.float32), (n, cfg.ninput)).copy()
+        return (self._rng.standard_normal([n, cfg.ninput])
+                * self.amplitude).astype(np.float32)
+
+    def stream(self, ngulp: int, seq0: int = 0):
+        for i in range(ngulp):
+            yield seq0 + i * self.cfg.ntime_gulp, self.gulp(i)
+
+
 class TriggerFileSource:
     """Replay a TriggeredDump file as a sequence
     (reference: blocks/trigger_source_block.py:73 TriggerReplay).

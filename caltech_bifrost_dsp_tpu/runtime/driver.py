@@ -237,7 +237,8 @@ class XEnginePipeline:
                  corr_outputs=(), subsel_outputs=(), pbeam_outputs=(),
                  ibeam_outputs=(), history_nbyte: int = 0,
                  autostartat: int = 0, sync_time: int = 0,
-                 selftest: bool = False, batch_accumulations: bool = True):
+                 selftest: bool = False, batch_accumulations: bool = True,
+                 fx_mode: bool = False, quant_scale: float = 1.0):
         self.cfg = cfg
         # batch_accumulations: process whole fast accumulations in one
         # device call (the MXU accumulates over the full window with no
@@ -280,8 +281,11 @@ class XEnginePipeline:
         self.history = None
         self.dump_cmd = None
         if history_nbyte:
+            # FX mode buffers raw f32 ADC frames (8x the packed size)
+            frame_nbyte = (cfg.ntime_gulp * 2 * cfg.nchan * cfg.ninput * 4
+                           if fx_mode else cfg.gulp_nbyte)
             self.history = HistoryRing(history_nbyte,
-                                       frame_nbyte=cfg.gulp_nbyte)
+                                       frame_nbyte=frame_nbyte)
             from ..io.sink import TriggeredDump
 
             self.dumper = TriggeredDump(self.history)
@@ -296,6 +300,23 @@ class XEnginePipeline:
                 self.output_cmds.append(OutputCommandBlock(name, s,
                                                            store=store))
         self.out_queue: queue.Queue = queue.Queue(maxsize=8)
+        # FX mode: source delivers raw f32 ADC samples; the device step
+        # prepends the PFB channelizer + 4-bit requant.  The (ntap-1)
+        # boundary frames are carried between blocks on the host (the
+        # single-device analog of the mesh halo exchange).
+        self.fx_mode = fx_mode
+        self.quant_scale = quant_scale
+        if fx_mode and selftest:
+            raise ValueError("selftest compares packed post-F input; "
+                             "not applicable in FX mode")
+        if fx_mode:
+            from ..ops import pfb as pfb_ops
+
+            self._window = jnp.asarray(
+                pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
+            self._adc_tail = np.zeros(
+                ((cfg.pfb_ntap - 1) * 2 * cfg.nchan, cfg.ninput),
+                np.float32)
         self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
         self.perf_compute = PerfTimer(self.corr_cmd.perf_proclog)
@@ -320,8 +341,20 @@ class XEnginePipeline:
         self.staging.shutdown()
 
     def _run_step(self, block, gains_dev, is_first, is_dump, slow_first):
-        """One device call over ``block`` ([k*ntime_gulp, nchan, ninput])."""
+        """One device call over ``block``: packed
+        [k*ntime_gulp, nchan, ninput] uint8, or in FX mode raw ADC
+        [k*ntime_gulp*2*nchan, ninput] f32."""
         cfg = self.cfg
+        if self.fx_mode:
+            adc = block.reshape(-1, cfg.ninput)
+            adc_ext = np.concatenate([self._adc_tail, adc])
+            self._adc_tail = adc[-self._adc_tail.shape[0]:].copy()
+            self.state, out = xengine.fx_step_jit(
+                self.state, jnp.asarray(adc_ext), self._window,
+                jnp.float32(self.quant_scale), gains_dev,
+                self.subsel_cmd.pairs_device, is_first, is_dump,
+                slow_first, cfg)
+            return out
         packed = jnp.asarray(block)
         self.state, out = xengine.xengine_step_jit(
             self.state, packed, gains_dev, self.subsel_cmd.pairs_device,

@@ -1,0 +1,64 @@
+"""FX-mode pipeline driver: raw ADC -> PFB -> requant -> X/B end-to-end
+(the BASELINE north-star chain in the runtime, single device)."""
+
+import numpy as np
+
+from caltech_bifrost_dsp_tpu import config as cfgmod
+from caltech_bifrost_dsp_tpu.io import sink, source
+from caltech_bifrost_dsp_tpu.runtime.driver import XEnginePipeline
+
+CFG = cfgmod.XEngineConfig(nstand=8, nchan=32, ntime_gulp=48, acc_len=96,
+                           acc_len_slow=192, nbeam=4, ntime_sum=12,
+                           nchan_sum=4, npipeline=2, pfb_ntap=4)
+TONE_CHAN = 9
+
+
+def test_fx_pipeline_tone_lands_in_channel(tmp_path):
+    src = source.ADCSource(CFG, mode="tone", tone_chan=TONE_CHAN,
+                           amplitude=5.0)
+    dumps = []
+
+    class Grab:
+        checkfile = None
+
+        def send_matrix(self, dense, *a, **k):
+            dumps.append(np.array(dense))
+            return 0
+
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[Grab()],
+                           quant_scale=1.0, fx_mode=True)
+    ngulp = 2 * CFG.acc_len_slow // CFG.ntime_gulp
+    pipe.run(ngulp, timeout_s=300)
+    assert pipe.ndump_slow == 2
+    vis = dumps[-1]  # [nchan, ninput, ninput]
+    autos = np.real(vis[:, 0, 0])
+    # the tone concentrates in TONE_CHAN; everything outside +-1 channel
+    # is far down
+    assert autos.argmax() == TONE_CHAN
+    others = np.delete(autos, [TONE_CHAN - 1, TONE_CHAN, TONE_CHAN + 1])
+    assert others.max() < 0.05 * autos[TONE_CHAN]
+    # coherent tone: all inputs identical -> cross-corr == autocorr at
+    # the tone channel
+    assert np.allclose(np.real(vis[TONE_CHAN]),
+                       autos[TONE_CHAN], rtol=0.01)
+
+
+def test_fx_pipeline_noise_hermitian():
+    src = source.ADCSource(CFG, mode="noise", amplitude=3.0)
+    dumps = []
+
+    class Grab:
+        checkfile = None
+
+        def send_matrix(self, dense, *a, **k):
+            dumps.append(np.array(dense))
+            return 0
+
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[Grab()],
+                           quant_scale=1.0, fx_mode=True,
+                           batch_accumulations=False)
+    pipe.run(CFG.acc_len_slow // CFG.ntime_gulp, timeout_s=300)
+    assert len(dumps) == 1
+    v = dumps[0]
+    np.testing.assert_array_equal(v, np.conj(np.swapaxes(v, 1, 2)))
+    assert (np.real(np.diagonal(v, axis1=1, axis2=2)) >= 0).all()
