@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--testcorr", action="store_true",
                    help="run a (slow) numpy correlator alongside and "
                         "compare every fast dump exactly")
+    p.add_argument("--fx", action="store_true",
+                   help="FX mode: source provides raw ADC samples; the "
+                        "device step prepends PFB channelization")
+    p.add_argument("--quant-scale", type=float, default=1.0,
+                   help="FX-mode 4-bit requantization gain")
+    p.add_argument("--fx-tone-chan", type=int, default=-1,
+                   help="FX fakesource: put a test tone in this channel")
     p.add_argument("--etcdhost", type=str, default=None,
                    help="etcd server (in-memory store when omitted)")
     p.add_argument("-l", "--logfile", type=str, default=None)
@@ -113,7 +120,16 @@ def build_pipeline(args, log) -> XEnginePipeline:
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 
-    if args.fakesource:
+    if args.fx:
+        if not args.fakesource:
+            raise SystemExit("FX mode currently requires --fakesource "
+                             "(ADC capture hardware is external)")
+        if args.fx_tone_chan >= 0:
+            src = source.ADCSource(cfg, mode="tone",
+                                   tone_chan=args.fx_tone_chan)
+        else:
+            src = source.ADCSource(cfg, mode="noise")
+    elif args.fakesource:
         if args.testdatain:
             src = source.DummySource(
                 cfg, mode="testfile", testfile=args.testdatain,
@@ -174,7 +190,8 @@ def build_pipeline(args, log) -> XEnginePipeline:
         ibeam_outputs=ibeam_outputs,
         history_nbyte=int(args.bufgbytes * 1e9),
         autostartat=args.autostartat, sync_time=int(time.time()),
-        selftest=args.testcorr)
+        selftest=args.testcorr, fx_mode=args.fx,
+        quant_scale=args.quant_scale)
     bridge = MonitorBridge(store, pipeline_id=args.pipelineid)
     bridge.start()
     pipe._monitor_bridge = bridge
