@@ -94,11 +94,11 @@ def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
         raise ValueError("not enough samples for one spectrum")
     tail = x.shape[1:]
     frames = x.reshape((nframe, L) + tail)
-    # Stack ntap consecutive frames per output spectrum: [nspec, ntap, L, ...]
-    idx = jnp.arange(nspec)[:, None] + jnp.arange(ntap)[None, :]
-    tiles = frames[idx]
-    w = window.reshape((1, ntap, L) + (1,) * len(tail))
-    fir = jnp.sum(tiles * w, axis=1)          # [nspec, L, ...]
+    # FIR as a sum of ntap shifted frame views (NOT a gather, which would
+    # materialize ntap copies of the input — 10+ GB at full scale)
+    wshape = (1, L) + (1,) * len(tail)
+    fir = sum(frames[k:k + nspec] * window[k].reshape(wshape)
+              for k in range(ntap))           # [nspec, L, ...]
     if fft_impl == "matmul":
         # Real DFT as two MXU matmuls — avoids the FFT lowering (the
         # axon AOT compile helper rejects it) and vectorizes over all
@@ -140,10 +140,9 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
         raise ValueError("not enough samples for one spectrum")
     tail = x.shape[1:]
     frames = x.reshape((nframe, L) + tail)
-    idx = jnp.arange(nspec)[:, None] + jnp.arange(ntap)[None, :]
-    tiles = frames[idx]
-    w = window.reshape((1, ntap, L) + (1,) * len(tail))
-    fir = jnp.sum(tiles * w, axis=1)          # [nspec, L, ...]
+    wshape = (1, L) + (1,) * len(tail)
+    fir = sum(frames[k:k + nspec] * window[k].reshape(wshape)
+              for k in range(ntap))           # [nspec, L, ...]
     cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
     fir2 = jnp.moveaxis(fir, 1, -1)           # [nspec, ..., L]
     hp = jax.lax.Precision.HIGHEST
