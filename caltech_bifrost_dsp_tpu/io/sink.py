@@ -302,9 +302,13 @@ class TriggeredDump:
         files = []
         start = self.ring.earliest()
         hdr0 = self.ring.header
-        # samples per ring frame (frames are gulp-shaped)
-        sample_nbyte = (hdr0.get("nchan", 1) * hdr0.get("nstand", 1)
-                        * hdr0.get("npol", 1)) or 1
+        # samples per ring frame (frames are gulp-shaped); ADC-mode
+        # frames hold f32 samples of [ninput] (no channel axis)
+        if hdr0.get("adc"):
+            sample_nbyte = 4 * hdr0.get("nstand", 1) * hdr0.get("npol", 1)
+        else:
+            sample_nbyte = (hdr0.get("nchan", 1) * hdr0.get("nstand", 1)
+                            * hdr0.get("npol", 1)) or 1
         spf = max(1, self.ring.frame_nbyte // sample_nbyte)
         frames_per_file = max(1, -(-ntime_per_file // spf))
         for i in range(nfile):

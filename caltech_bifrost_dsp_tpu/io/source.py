@@ -192,8 +192,12 @@ class TriggerFileSource:
     def read(self) -> tuple[dict, np.ndarray]:
         with open(self.path, "rb") as fh:
             fh.seek(self.HEADER_BLOCK)
-            data = np.frombuffer(fh.read(self.payload_nbyte), np.uint8)
+            raw = fh.read(self.payload_nbyte)
         h = self.header
+        if h.get("adc"):
+            data = np.frombuffer(raw, np.float32)
+            return h, data.reshape(h["ntime"], h["nstand"] * h["npol"])
+        data = np.frombuffer(raw, np.uint8)
         shape = (h["ntime"], h["nchan"], h["nstand"] * h["npol"])
         return h, data.reshape(shape)
 

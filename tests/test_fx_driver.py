@@ -43,6 +43,23 @@ def test_fx_pipeline_tone_lands_in_channel(tmp_path):
                        autos[TONE_CHAN], rtol=0.01)
 
 
+def test_fx_triggered_dump_replays_adc(tmp_path):
+    """FX-mode deep buffer dumps raw ADC and the replay recovers it."""
+    src = source.ADCSource(CFG, mode="tone", tone_chan=3)
+    pipe = XEnginePipeline(CFG, src, fx_mode=True,
+                           history_nbyte=8 * CFG.ntime_gulp * 2
+                           * CFG.nchan * CFG.ninput * 4)
+    pipe.run(4, timeout_s=300)
+    files = pipe.dumper.trigger(
+        ntime_per_file=CFG.ntime_gulp * 2 * CFG.nchan, nfile=1,
+        dump_path=str(tmp_path))
+    assert files
+    hdr, data = source.TriggerFileSource(files[0]).read()
+    assert hdr.get("adc") and data.dtype == np.float32
+    want = source.ADCSource(CFG, mode="tone", tone_chan=3).gulp(0)
+    np.testing.assert_array_equal(data[:want.shape[0]], want)
+
+
 def test_fx_pipeline_noise_hermitian():
     src = source.ADCSource(CFG, mode="noise", amplitude=3.0)
     dumps = []
