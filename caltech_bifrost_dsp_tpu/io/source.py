@@ -125,9 +125,11 @@ class DummySource:
         return data
 
     def stream(self, ngulp: int, seq0: int = 0):
-        """Yield (this_gulp_time, gulp) pairs."""
-        for i in range(ngulp):
+        """Yield (this_gulp_time, gulp) pairs; ngulp == 0 runs forever."""
+        i = 0
+        while ngulp == 0 or i < ngulp:
             yield seq0 + i * self.cfg.ntime_gulp, self.gulp(i)
+            i += 1
 
 
 class ADCSource:
@@ -167,8 +169,10 @@ class ADCSource:
                 * self.amplitude).astype(np.float32)
 
     def stream(self, ngulp: int, seq0: int = 0):
-        for i in range(ngulp):
+        i = 0
+        while ngulp == 0 or i < ngulp:
             yield seq0 + i * self.cfg.ntime_gulp, self.gulp(i)
+            i += 1
 
 
 class TriggerFileSource:
