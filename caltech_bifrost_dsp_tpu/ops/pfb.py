@@ -151,13 +151,25 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
     return re, im
 
 
+def _broadcast_scale(scale, ndim: int):
+    """Scalar or per-channel [nchan] requant gain -> broadcastable shape
+    for [..., nchan, ninput] spectra (the F-engine 'eq' coefficient
+    analog)."""
+    s = jnp.asarray(scale)
+    if s.ndim == 1:
+        return s.reshape((1,) * (ndim - 2) + (-1, 1))
+    return s
+
+
 def quantize_4bit_planes(re: jax.Array, im: jax.Array,
-                         scale: float = 1.0) -> jax.Array:
-    """Complex-free version of :func:`quantize_4bit`."""
+                         scale=1.0) -> jax.Array:
+    """Complex-free version of :func:`quantize_4bit`; ``scale`` may be a
+    scalar or per-channel [nchan] vector."""
     from ..utils.codec import pack_jnp
 
-    r = jnp.clip(jnp.round(re * scale), -8, 7).astype(jnp.int8)
-    i = jnp.clip(jnp.round(im * scale), -8, 7).astype(jnp.int8)
+    s = _broadcast_scale(scale, re.ndim)
+    r = jnp.clip(jnp.round(re * s), -8, 7).astype(jnp.int8)
+    i = jnp.clip(jnp.round(im * s), -8, 7).astype(jnp.int8)
     return pack_jnp(r, i)
 
 
@@ -199,17 +211,19 @@ def upchannelize(x: jax.Array, nup: int, axis_time: int = 0,
     return fine.astype(jnp.complex64)
 
 
-def quantize_4bit(z: jax.Array, scale: float = 1.0) -> jax.Array:
+def quantize_4bit(z: jax.Array, scale=1.0) -> jax.Array:
     """Requantize complex voltages to packed 4+4-bit bytes.
 
     The F-engine emits 4+4-bit complex ints; this closes the loop so the
     PFB output can feed the packed-input correlator/beamformer path.
-    Rounds-to-nearest and saturates to [-8, 7].
+    Rounds-to-nearest and saturates to [-8, 7].  ``scale`` may be a
+    scalar or per-channel [nchan] vector (the F-engine 'eq' analog).
     """
     from ..utils.codec import pack_jnp
 
-    re = jnp.clip(jnp.round(jnp.real(z) * scale), -8, 7).astype(jnp.int8)
-    im = jnp.clip(jnp.round(jnp.imag(z) * scale), -8, 7).astype(jnp.int8)
+    s = _broadcast_scale(scale, z.ndim)
+    re = jnp.clip(jnp.round(jnp.real(z) * s), -8, 7).astype(jnp.int8)
+    im = jnp.clip(jnp.round(jnp.imag(z) * s), -8, 7).astype(jnp.int8)
     return pack_jnp(re, im)
 
 

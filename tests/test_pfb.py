@@ -107,6 +107,14 @@ def test_quantize_4bit_roundtrip_small_ints():
     np.testing.assert_array_equal(im[0], [2, -8, 7, -0])
 
 
+def test_quantize_per_channel_gains():
+    z = np.ones([2, 4, 3], dtype=np.complex64) * (2 + 2j)
+    scale = np.array([0.5, 1.0, 2.0, 3.0], np.float32)
+    packed = np.asarray(pfb.quantize_4bit(jnp.asarray(z), scale))
+    re, _ = codec.unpack_np(packed)
+    np.testing.assert_array_equal(re[0, :, 0], [1, 2, 4, 6])
+
+
 def test_quantize_saturates():
     z = np.array([[100 + 100j, -100 - 100j]], dtype=np.complex64)
     packed = np.asarray(pfb.quantize_4bit(jnp.asarray(z)))
