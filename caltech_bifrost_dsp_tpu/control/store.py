@@ -101,8 +101,19 @@ class Etcd3Store:
 
 
 def connect(host: str | None = None, port: int = 2379):
-    """Return an Etcd3Store if a host is given and etcd3 is importable,
-    else a MemoryStore."""
-    if host:
-        return Etcd3Store(host, port)
-    return MemoryStore()
+    """Store factory.
+
+    - ``None`` -> in-process MemoryStore
+    - ``"kv://HOST:PORT"`` -> the bundled TCP store
+      (:mod:`.netstore`, etcd-less multi-process control)
+    - anything else -> a real etcd3 client at host:port
+    """
+    if not host:
+        return MemoryStore()
+    if host.startswith("kv://"):
+        from .netstore import NetStore
+
+        hp = host[5:]
+        h, _, p = hp.partition(":")
+        return NetStore(h or "127.0.0.1", int(p or 4440))
+    return Etcd3Store(host, port)

@@ -22,7 +22,19 @@ def main(argv=None) -> int:
     p.add_argument("--pidfile-dir", type=str, default="/tmp")
     p.add_argument("--cores", type=str, default="",
                    help="pipeline_id:core,core;pipeline_id:... pinning")
+    p.add_argument("--serve-kv", type=int, default=0, metavar="PORT",
+                   help="also run the bundled TCP KV store on PORT "
+                        "(etcd-less single-host control plane)")
     args = p.parse_args(argv)
+
+    kv_server = None
+    if args.serve_kv:
+        from ..control.netstore import StoreServer
+
+        kv_server = StoreServer("0.0.0.0", args.serve_kv)
+        if not args.etcdhost:
+            args.etcdhost = f"kv://127.0.0.1:{args.serve_kv}"
+        print(f"KV store serving on :{kv_server.port}")
 
     cpu_tables = {}
     if args.cores:
