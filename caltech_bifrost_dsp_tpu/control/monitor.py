@@ -47,6 +47,10 @@ class MonitorBridge:
             payload = {"time": now, "host": self.host,
                        "pid": self.pipeline_id, "block": block}
             payload.update(kinds)
+            # sequence-header fields at top level: the arming arithmetic
+            # reads sync_time/bw_hz/nchan straight off the status
+            # (reference: corr_control.py:49-57)
+            payload.update(kinds.get("sequence0", {}))
             # Derive gbps from byte-counter deltas when a stage publishes
             # cumulative counters (the capture-rate computation,
             # bifrost_etcd_bridge.py:127-139).

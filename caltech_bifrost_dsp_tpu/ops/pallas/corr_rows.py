@@ -38,12 +38,13 @@ def _make_kernel(ntile: int, ntime: int):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(row_ref, hbm_ref, vr_ref, vi_ref, jbuf, sems):
+        c = pl.program_id(0)
         i = pl.program_id(1)
         ar, ai = _unpack_bf16(row_ref[0])
 
         def get_dma(slot, j):
             return pltpu.make_async_copy(
-                hbm_ref.at[0, :, pl.ds(j * TILE, TILE)],
+                hbm_ref.at[c, :, pl.ds(j * TILE, TILE)],
                 jbuf.at[slot], sems.at[slot])
 
         # warm-up: fetch the diagonal tile (j = i)
@@ -108,9 +109,11 @@ def packed_corr_rows(packed: jax.Array, interpret: bool = False) -> Vis:
             pl.BlockSpec((1, ntime, TILE),
                          lambda c, i: (c, 0, i),
                          memory_space=pltpu.VMEM),     # row tile
-            pl.BlockSpec((1, ntime, ni),
-                         lambda c, i: (c, 0, 0),
-                         memory_space=pltpu.ANY),      # full chan in HBM
+            pl.BlockSpec((nchan, ntime, ni),
+                         lambda c, i: (0, 0, 0),
+                         memory_space=pltpu.ANY),      # whole array, HBM
+                                                       # (Mosaic requires
+                                                       # trivial ANY specs)
         ],
         out_specs=[
             pl.BlockSpec((1, TILE, ni), lambda c, i: (c, i, 0),

@@ -403,6 +403,8 @@ class XEnginePipeline:
         for seq in self.staging.read():
             hdr = seq.header
             t = hdr["seq0"]
+            self.corr_cmd.sequence_proclog.update(hdr)
+            self.corr_acc_cmd.sequence_proclog.update(hdr)
             self.fast_ctrl.on_sequence_start(t)
             self.slow_ctrl.on_sequence_start(t)
             slow_dec = None

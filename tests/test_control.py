@@ -110,6 +110,23 @@ def test_corrcontrol_handle(store):
         corr.set_acc_length(2400.0)  # non-int rejected client-side
 
 
+def test_arm_path_via_monitor_status(store):
+    """get_next_allowed_start reads sync_time/bw_hz/nchan/xgpu_acc_len
+    off the published status (the full arm arithmetic round trip)."""
+    blk = make_block(store)
+    blk.sequence_proclog.update({"sync_time": 1000.0,
+                                 "bw_hz": 192 * 23925.78125,
+                                 "nchan": 192, "seq0": 0})
+    blk.update_stats({"state": "running", "curr_sample": 0})
+    MonitorBridge(store, host="testhost").publish_once()
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    corr = ctl.CorrControl(cli, "testhost", 0, "Corr",
+                           instance_id=blk.instance_id)
+    start = corr.get_next_allowed_start(5.0)
+    assert start % 480 == 0  # rounded to the commandable granularity
+    assert start > 0
+
+
 def test_monitor_bridge_and_dashboard(store):
     blk = make_block(store)
     blk.update_stats({"state": "running", "ngood_bytes": 0})
