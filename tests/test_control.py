@@ -117,7 +117,8 @@ def test_arm_path_via_monitor_status(store):
     blk.sequence_proclog.update({"sync_time": 1000.0,
                                  "bw_hz": 192 * 23925.78125,
                                  "nchan": 192, "seq0": 0})
-    blk.update_stats({"state": "running", "curr_sample": 0})
+    blk.update_stats({"state": "running", "curr_sample": 0,
+                      "xgpu_acc_len": 480})
     MonitorBridge(store, host="testhost").publish_once()
     cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
     corr = ctl.CorrControl(cli, "testhost", 0, "Corr",
