@@ -372,8 +372,11 @@ class XEnginePipeline:
             products["acc_len"] = dec.acc_len
             self.ndump_fast += 1
             if slow_dec.action == Action.DUMP:
-                products["vis_slow"] = correlate.vis_to_numpy_complex(
-                    xengine.dense_vis(self.state.vis_slow, self.cfg))
+                dense = xengine.dense_vis(self.state.vis_slow, self.cfg)
+                # int32 planes; the complex128 view is built lazily in
+                # the output thread only when a consumer needs it
+                products["vis_slow_planes"] = (np.asarray(dense.real),
+                                               np.asarray(dense.imag))
                 products["slow_seq0"] = slow_dec.seq0
                 products["slow_acc_len"] = slow_dec.acc_len
                 self.ndump_slow += 1
@@ -508,15 +511,30 @@ class XEnginePipeline:
                                                np.uint32),
                                     self.sync_time, item["fast_seq0"],
                                     item["acc_len"])
-            if "vis_slow" in item:
+            if "vis_slow_planes" in item:
+                vr, vi = item["vis_slow_planes"]
+                dense = None
                 for snk in self.corr_outputs:
                     if snk.checkfile:
+                        if dense is None:
+                            dense = (vr.astype(np.int64)
+                                     + 1j * vi.astype(np.int64)
+                                     ).astype(np.complex128)
                         snk.check_against_file(
-                            item["vis_slow"], item["slow_acc_len"],
+                            dense, item["slow_acc_len"],
                             item["slow_seq0"] // item["slow_acc_len"])
-                    snk.send_matrix(item["vis_slow"], self.sync_time,
-                                    item["slow_seq0"],
-                                    item["slow_acc_len"])
+                    if getattr(snk, "native_dest", None) is not None:
+                        snk.send_matrix_planes(vr, vi, self.sync_time,
+                                               item["slow_seq0"],
+                                               item["slow_acc_len"])
+                    else:
+                        if dense is None:
+                            dense = (vr.astype(np.int64)
+                                     + 1j * vi.astype(np.int64)
+                                     ).astype(np.complex128)
+                        snk.send_matrix(dense, self.sync_time,
+                                        item["slow_seq0"],
+                                        item["slow_acc_len"])
 
     # -- lifecycle ------------------------------------------------------------
 
