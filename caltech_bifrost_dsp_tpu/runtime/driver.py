@@ -326,18 +326,39 @@ class XEnginePipeline:
     # -- threads --------------------------------------------------------------
 
     def _ingest(self, ngulp: int):
-        seq = self.staging.begin_sequence(
-            time_tag=1, header=self.source.header(seq0=0,
-                                                  sync_time=self.sync_time))
-        if self.history is not None:
-            self.history.set_header(seq.header, 0)
+        """Source -> staging ring.  A timestamp discontinuity from the
+        source (capture after packet loss / resync) starts a NEW
+        sequence, exactly as the reference's C capture engine does
+        (capture_block.py seq_callback; SURVEY.md section 5 recovery
+        invariant) — the compute thread then re-arms via
+        ``on_sequence_start``."""
+        seq = None
+        expected = None
+        time_tag = 0
         for t, gulp in self.source.stream(ngulp):
             if self._stop.is_set():
                 break
+            if seq is None or t != expected:
+                if seq is not None:
+                    self.staging.end_sequence(seq)
+                time_tag += 1
+                seq = self.staging.begin_sequence(
+                    time_tag=time_tag,
+                    header=self.source.header(seq0=t,
+                                              sync_time=self.sync_time))
+                if self.history is not None:
+                    # keep frame-index -> spectra mapping consistent for
+                    # frames already resident: frame `count` maps to t
+                    spf = self.cfg.ntime_gulp * (
+                        2 * self.cfg.nchan if self.fx_mode else 1)
+                    self.history.set_header(
+                        seq.header, t - self.history.count * spf)
             self.staging.write_span(seq, gulp)
             if self.history is not None:
                 self.history.push(gulp)
-        self.staging.end_sequence(seq)
+            expected = t + self.cfg.ntime_gulp
+        if seq is not None:
+            self.staging.end_sequence(seq)
         self.staging.shutdown()
 
     def _run_step(self, block, gains_dev, is_first, is_dump, slow_first):

@@ -55,6 +55,7 @@ struct CbdCapture {
 
   std::atomic<uint64_t> ngood_bytes{0}, npkt{0}, nmissing{0}, nseq{0};
   int64_t last_seq = -1;
+  int64_t skip_from = -1, skip_to = -1;  // gap to jump over on emission
 
   std::thread rx;
   std::atomic<bool> running{false};
@@ -95,12 +96,21 @@ static void rx_loop(CbdCapture *c) {
                        c->ntime_gulp);
       }
       int64_t seq = (int64_t)h->seq;
-      // Sequence-break detection: a jump of more than one gulp starts a
-      // new sequence (the reference C engine's discontinuity rule).
+      // Sequence-break detection: a jump of more than a few gulps starts
+      // a new sequence (the reference C engine's discontinuity rule) and
+      // fast-forwards the emit cursor — the stream resumes at the new
+      // position instead of flooding zero-filled gap gulps.
       if (c->last_seq >= 0 &&
           (seq < c->last_seq - c->ntime_gulp ||
-           seq > c->last_seq + 4 * c->ntime_gulp))
+           seq > c->last_seq + 4 * c->ntime_gulp)) {
         c->nseq.fetch_add(1, std::memory_order_relaxed);
+        if (seq > c->last_seq + 4 * c->ntime_gulp) {
+          // record the void so the consumer skips it after draining the
+          // still-unread pre-gap gulps
+          c->skip_from = c->last_seq / c->ntime_gulp + 1;
+          c->skip_to = seq / c->ntime_gulp;
+        }
+      }
       if (c->last_seq < 0) c->nseq.fetch_add(1, std::memory_order_relaxed);
       c->last_seq = seq;
 
@@ -194,6 +204,12 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
                   std::chrono::duration_cast<std::chrono::nanoseconds>(
                       std::chrono::duration<double>(timeout_s));
   for (;;) {
+    if (c->skip_from >= 0 && c->emit_next >= c->skip_from &&
+        c->emit_next < c->skip_to) {
+      // sequence break: jump the void between the old and new streams
+      c->emit_next = c->skip_to;
+      c->skip_from = c->skip_to = -1;
+    }
     if (c->emit_next >= 0) {
       Slot &s = c->slot_for(c->emit_next);
       bool passed = c->highest_gulp >= c->emit_next + c->lead;

@@ -69,6 +69,39 @@ def test_loopback_with_deliberate_loss():
         np.testing.assert_array_equal(data[mask], want[mask])
 
 
+def test_capture_fast_forwards_over_large_gap():
+    """A big timestamp jump (packet loss / resync) must start a new
+    sequence and fast-forward emission, not flood zero gulps."""
+    port = PORT + 7
+    cap = native.NativeCapture(CFG, "127.0.0.1", port, nbuf=8)
+    cap.start()
+    rng = np.random.RandomState(9)
+    data = rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]) \
+        .astype(np.uint8)
+    for g in range(3):
+        native.transmit_gulp("127.0.0.1", port, data,
+                             seq0=g * CFG.ntime_gulp,
+                             nchan_per_pkt=16, npol_per_pkt=8)
+    gap0 = 1000 * CFG.ntime_gulp
+    for g in range(3):
+        native.transmit_gulp("127.0.0.1", port, data,
+                             seq0=gap0 + g * CFG.ntime_gulp,
+                             nchan_per_pkt=16, npol_per_pkt=8)
+    seqs = []
+    for _ in range(6):
+        seq0, _g = cap.get_gulp(timeout_s=3.0)
+        if seq0 is None:
+            break
+        seqs.append(seq0)
+    stats = cap.stats()
+    cap.close()
+    # pre-gap gulps, then a jump straight to the new position
+    assert seqs[:3] == [0, CFG.ntime_gulp, 2 * CFG.ntime_gulp]
+    assert all(s >= gap0 for s in seqs[3:])
+    assert seqs[3:]  # post-gap data did flow
+    assert stats["nseq"] >= 2
+
+
 def test_native_cor_packetizer_matches_python(tmp_path):
     """C++ COR packetizer output must be byte-identical to the Python
     encoder's packets for the same matrix."""

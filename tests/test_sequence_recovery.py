@@ -53,3 +53,27 @@ def test_pipeline_recovers_after_sequence_break():
     # and the recovery start matches the reference arithmetic
     missed_accs = (10_000 * g) // CFG.acc_len
     assert pipe.fast_ctrl.start_time == (missed_accs + 10) * CFG.acc_len
+
+
+def test_ingest_splits_sequences_on_discontinuity():
+    """The ingest thread itself must detect timestamp jumps from the
+    source and start a new staging sequence (capture-engine parity)."""
+    g = CFG.ntime_gulp
+    nacc_gulps = CFG.acc_len // g
+    gap_start = 1000 * g
+    missed_accs = gap_start // CFG.acc_len
+    recover = (missed_accs + 10) * CFG.acc_len
+    n_after = (recover - gap_start) // g + nacc_gulps
+
+    class JumpSource(source.DummySource):
+        def stream(self, ngulp, seq0=0):
+            for i in range(nacc_gulps):
+                yield i * g, self.gulp(i)
+            for i in range(n_after):
+                yield gap_start + i * g, self.gulp(i)
+
+    src = JumpSource(CFG, mode="random")
+    pipe = XEnginePipeline(CFG, src, autostartat=0)
+    pipe.run(0, timeout_s=300)
+    assert pipe.ndump_fast == 2  # one before the jump, one after re-arm
+    assert pipe.fast_ctrl.start_time == recover
