@@ -160,6 +160,18 @@ class CorrSubselControl(BlockControl):
             f"baseline list must have {self.NVIS} entries"
         return self._send_command(baselines=b)
 
+    def get_baseline_select(self):
+        """Read the active selection off the monitor sub-key
+        (the reference's 'special etcd key' path,
+        corr_subsel_control.py)."""
+        from .command import block_key
+
+        key = block_key(self._client.mon_root, self._host, self._pid,
+                        self._name, self._instance_id) + \
+            "/status/baselines"
+        raw = self._client.store.get(key)
+        return json.loads(raw) if raw else None
+
 
 class BeamformControl(BlockControl):
     """(reference: blocks/beamform_control.py)"""

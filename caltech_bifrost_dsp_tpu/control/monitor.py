@@ -31,6 +31,7 @@ class MonitorBridge:
         self.host = host or socket.gethostname()
         self.poll_s = poll_s
         self._prev_bytes: dict[str, tuple[float, float]] = {}
+        self._baseline_hash: dict[str, int] = {}
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -64,6 +65,15 @@ class MonitorBridge:
                 self._prev_bytes[block] = (now, nbyte)
             key = (f"{self.keyroot}/x/{self.host}/pipeline/"
                    f"{self.pipeline_id}/{block}/0/status")
+            # the big baseline list goes to a sub-key, only on change
+            # (bifrost_etcd_bridge.py:148-160)
+            bl = stats.pop("baselines", None) if isinstance(stats, dict) \
+                else None
+            if bl is not None:
+                h = hash(json.dumps(bl))
+                if self._baseline_hash.get(block) != h:
+                    self._baseline_hash[block] = h
+                    self.store.put(key + "/baselines", json.dumps(bl))
             self.store.put(key, json.dumps(payload))
             out[key] = payload
         return out

@@ -136,6 +136,7 @@ class SubselCommandBlock(CommandBlock):
         self.baselines = default
         self.pairs_device = jnp.asarray(
             cs.baselines_to_inputs(default, cfg.npol).astype(np.int32))
+        self._publish_baselines()
 
     def apply_pending(self) -> bool:
         """Returns True if the selection changed (downstream starts a new
@@ -146,7 +147,14 @@ class SubselCommandBlock(CommandBlock):
         self.baselines = self.command_vals["baselines"]
         self.pairs_device = jnp.asarray(cs.baselines_to_inputs(
             self.baselines, self.cfg.npol).astype(np.int32))
+        self._publish_baselines()
         return True
+
+    def _publish_baselines(self):
+        # the large selection list is exported via stats so the monitor
+        # bridge can cache it to a sub-key only-on-change
+        # (bifrost_etcd_bridge.py:148-160 semantics)
+        self.update_stats({"baselines": self.baselines})
 
 
 class OutputCommandBlock(CommandBlock):

@@ -62,6 +62,12 @@ def registry_snapshot() -> dict[str, dict]:
     return {name: log.snapshot() for name, log in logs}
 
 
+def clear_registry() -> None:
+    """Drop all registered proclogs (tests / fresh pipeline processes)."""
+    with _REGISTRY_LOCK:
+        _REGISTRY.clear()
+
+
 class PerfTimer:
     """Accumulates the acquire/reserve/process split for one stage.
 

@@ -35,6 +35,8 @@ def rng():
 @pytest.fixture(autouse=True)
 def _reset_block_instances():
     from caltech_bifrost_dsp_tpu.control.command import CommandBlock
+    from caltech_bifrost_dsp_tpu.utils import proclog
 
     CommandBlock.reset_instance_counts()
+    proclog.clear_registry()
     yield

@@ -38,6 +38,26 @@ def test_dest_file_redirect(tmp_path):
     assert hdr.acc_len == CFG.acc_len_slow
 
 
+def test_baseline_select_roundtrip_via_special_key():
+    from caltech_bifrost_dsp_tpu.control.monitor import MonitorBridge
+    from caltech_bifrost_dsp_tpu.ops import corr_subsel as cs
+
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    pipe = XEnginePipeline(CFG, src, store=store)
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    new_bl = cs.default_baselines(CFG.nvis_out, CFG.nstand)
+    new_bl[0] = [[1, 1], [2, 0]]
+    ctl.corr_subsel.set_baseline_select(new_bl)
+    pipe.run(CFG.acc_len // CFG.ntime_gulp, timeout_s=180)
+    MonitorBridge(store, host=ctl.corr_subsel._host
+                  if hasattr(ctl.corr_subsel, "_host") else None,
+                  pipeline_id=0).publish_once()
+    got = ctl.corr_subsel.get_baseline_select()
+    assert got == new_bl
+
+
 def test_disable_with_zero_ip():
     store = MemoryStore()
     src = source.DummySource(CFG, mode="random")
