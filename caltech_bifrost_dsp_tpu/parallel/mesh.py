@@ -71,11 +71,18 @@ def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
     unsharded PFB of the full stream (modulo shard 0's zero-padded
     startup transient).
     """
-    L = 2 * nchan
-    halo_n = (ntap - 1) * L
+    adc_ext = _halo_extend(adc_local, nchan, ntap, axis)
+    return pfb_ops.pfb_channelize(adc_ext, window, nchan, ntap,
+                                  fft_impl=fft_impl)
+
+
+def _halo_extend(adc_local: jax.Array, nchan: int, ntap: int,
+                 axis: str) -> jax.Array:
+    """Prepend the (ntap-1) boundary frames of the left time-shard
+    (``ppermute`` ring shift; shard 0 gets zeros)."""
+    halo_n = (ntap - 1) * 2 * nchan
     if halo_n == 0:
-        return pfb_ops.pfb_channelize(adc_local, window, nchan, ntap,
-                                        fft_impl=fft_impl)
+        return adc_local
     n_shard = jax.lax.axis_size(axis)
     tail = adc_local[-halo_n:]
     perm = [(i, (i + 1) % n_shard) for i in range(n_shard)]
@@ -83,9 +90,7 @@ def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
     # Shard 0 received shard N-1's tail (wrap-around); replace with zeros.
     is_first = jax.lax.axis_index(axis) == 0
     halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
-    adc_ext = jnp.concatenate([halo, adc_local], axis=0)
-    return pfb_ops.pfb_channelize(adc_ext, window, nchan, ntap,
-                                    fft_impl=fft_impl)
+    return jnp.concatenate([halo, adc_local], axis=0)
 
 
 def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
@@ -110,15 +115,29 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
         raise ValueError("per-shard channel count must be a multiple of "
                          "nchan_sum (shard-local subsel channel averaging)")
 
-    def shard_fn(adc_local, window, gains_r, gains_i, pairs, quant_scale):
-        # adc_local: [T_local, ninput / n_chan_shards]
-        spec = _pfb_with_halo(adc_local, window, cfg.nchan, cfg.pfb_ntap,
-                              "time", fft_impl=cfg.pfb_fft_impl)                    # [S, nchan, nin_l]
+    def corner_turn(x):
         # F->X corner-turn: split channels, gather inputs.
         if n_chan_shards > 1:
-            spec = jax.lax.all_to_all(spec, "chan", split_axis=1,
+            return jax.lax.all_to_all(x, "chan", split_axis=1,
                                       concat_axis=2, tiled=True)
-        packed = pfb_ops.quantize_4bit(spec, quant_scale)  # [S, nchan_l, ni]
+        return x
+
+    def shard_fn(adc_local, window, gains_r, gains_i, pairs, quant_scale):
+        # adc_local: [T_local, ninput / n_chan_shards]
+        if cfg.pfb_fft_impl == "matmul":
+            # complex-free path (AOT backends without complex HLO)
+            adc_ext = _halo_extend(adc_local, cfg.nchan, cfg.pfb_ntap,
+                                   "time")
+            re, im = pfb_ops.pfb_channelize_planes(
+                adc_ext, window, cfg.nchan, cfg.pfb_ntap)
+            re, im = corner_turn(re), corner_turn(im)
+            packed = pfb_ops.quantize_4bit_planes(re, im, quant_scale)
+        else:
+            spec = _pfb_with_halo(adc_local, window, cfg.nchan,
+                                  cfg.pfb_ntap, "time",
+                                  fft_impl=cfg.pfb_fft_impl)
+            spec = corner_turn(spec)
+            packed = pfb_ops.quantize_4bit(spec, quant_scale)
         vis_part = corr.correlate_gulp(packed)
         vis = Vis(jax.lax.psum(vis_part.real, "time"),
                   jax.lax.psum(vis_part.imag, "time"))

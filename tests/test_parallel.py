@@ -33,14 +33,17 @@ def _fx_inputs(rng, nspec_total):
     return adc, window, gains, pairs
 
 
-@pytest.mark.parametrize("n_time,n_chan", [(2, 4), (4, 2), (1, 8), (8, 1)])
-def test_fx_sharded_matches_unsharded(rng, n_time, n_chan):
+@pytest.mark.parametrize("n_time,n_chan,impl", [
+    (2, 4, "fft"), (4, 2, "fft"), (1, 8, "fft"), (8, 1, "fft"),
+    (2, 4, "matmul")])
+def test_fx_sharded_matches_unsharded(rng, n_time, n_chan, impl):
     if len(jax.devices()) < n_time * n_chan:
         pytest.skip("need 8 virtual devices")
+    cfg = CFG.replace(pfb_fft_impl=impl)
     mesh = pmesh.make_mesh(n_time, n_chan)
     nspec_total = 8 * CFG.ntime_sum  # divisible by time shards * ntime_sum
     adc, window, gains, pairs = _fx_inputs(rng, nspec_total)
-    fn = jax.jit(pmesh.fx_sharded_fn(CFG, mesh))
+    fn = jax.jit(pmesh.fx_sharded_fn(cfg, mesh))
     with jax.set_mesh(mesh):
         out = fn(adc, window, gains, pairs, jnp.float32(1.0))
         vis_r = np.asarray(out.vis.real)
