@@ -217,6 +217,14 @@ class OutputControl(BlockControl):
         return self._send_command(dest_file=dest_file)
 
 
+class BeamOutputControl(BlockControl):
+    """Per-beam destination lists (beamform_output_control.py parity)."""
+
+    def set_destinations(self, dest_ips: list, dest_ports: list):
+        return self._send_command(dest_ip=list(dest_ips),
+                                  dest_port=[int(p) for p in dest_ports])
+
+
 class TriggeredDumpControl(BlockControl):
     """(reference: blocks/triggered_dump_control.py)"""
 
@@ -255,8 +263,12 @@ class PipelineControl:
                                               "CorrOutputFull")
         self.corr_output_part = OutputControl(client, host, pipeline_id,
                                               "CorrOutputPart")
-        self.beamform_output = OutputControl(client, host, pipeline_id,
-                                             "BeamformOutput")
+        self.beamform_output = BeamOutputControl(client, host,
+                                                 pipeline_id,
+                                                 "BeamformOutput")
+        self.beamform_vlbi_output = OutputControl(client, host,
+                                                  pipeline_id,
+                                                  "BeamformVlbiOutput")
         self.triggered_dump = TriggeredDumpControl(client, host, pipeline_id,
                                                    "TriggeredDump")
 

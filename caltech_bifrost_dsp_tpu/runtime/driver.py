@@ -200,6 +200,38 @@ class OutputCommandBlock(CommandBlock):
             self.sink.throttle = Throttle(mbps * 1e6 if mbps > 0 else None)
 
 
+class BeamOutputCommandBlock(CommandBlock):
+    """Per-beam destination lists for the power-beam streams
+    (command keys per reference: beamform_output_block.py — dest_ip and
+    dest_port are per-beam lists; '0.0.0.0' disables a beam)."""
+
+    def __init__(self, sink_obj, nbeam2: int, store=None,
+                 dest_port: int = 10000):
+        super().__init__("BeamformOutput", store=store)
+        self.sink = sink_obj
+        self.nbeam2 = nbeam2
+        self.define_command_key(
+            "dest_ip", type=list, initial_val=["0.0.0.0"] * nbeam2,
+            condition=lambda x: len(x) <= nbeam2)
+        self.define_command_key(
+            "dest_port", type=list, initial_val=[dest_port] * nbeam2,
+            condition=lambda x: len(x) <= nbeam2)
+
+    def apply_pending(self):
+        if not self.update_pending:
+            return
+        self.update_command_vals()
+        from ..io.sink import UdpSender
+
+        ips = self.command_vals["dest_ip"]
+        ports = self.command_vals["dest_port"]
+        senders = {}
+        for b in range(min(len(ips), len(ports), self.nbeam2)):
+            if ips[b] and ips[b] != "0.0.0.0":
+                senders[b] = UdpSender(ips[b], int(ports[b]))
+        self.sink.senders = senders
+
+
 class TriggeredDumpCommandBlock(CommandBlock):
     """Trigger/abort/stop endpoint for the deep-buffer dump
     (command keys per reference: triggered_dump_block.py:164-169)."""
@@ -307,6 +339,9 @@ class XEnginePipeline:
             for s in sinks:
                 self.output_cmds.append(OutputCommandBlock(name, s,
                                                            store=store))
+        for s in self.pbeam_outputs:
+            self.output_cmds.append(BeamOutputCommandBlock(
+                s, cfg.nbeam // 2, store=store))
         self.out_queue: queue.Queue = queue.Queue(maxsize=8)
         # FX mode: source delivers raw f32 ADC samples; the device step
         # prepends the PFB channelizer + 4-bit requant.  The (ntap-1)

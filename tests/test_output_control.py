@@ -58,6 +58,21 @@ def test_baseline_select_roundtrip_via_special_key():
     assert got == new_bl
 
 
+def test_per_beam_destination_lists():
+    """BeamformOutput per-beam dest lists rebuild the senders map."""
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    pb = sink.PBeamOutput(CFG, senders={})
+    pipe = XEnginePipeline(CFG, src, store=store, pbeam_outputs=[pb])
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    nb2 = CFG.nbeam // 2
+    ips = ["127.0.0.1"] + ["0.0.0.0"] * (nb2 - 1)
+    ctl.beamform_output.set_destinations(ips, [19999] * nb2)
+    pipe.run(CFG.acc_len // CFG.ntime_gulp, timeout_s=180)
+    assert set(pb.senders) == {0}  # only beam 0 enabled
+
+
 def test_disable_with_zero_ip():
     store = MemoryStore()
     src = source.DummySource(CFG, mode="random")
