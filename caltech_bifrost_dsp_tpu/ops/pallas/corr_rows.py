@@ -111,7 +111,7 @@ def packed_corr_rows(packed: jax.Array, interpret: bool = False) -> Vis:
                          memory_space=pltpu.VMEM),     # row tile
             pl.BlockSpec((nchan, ntime, ni),
                          lambda c, i: (0, 0, 0),
-                         memory_space=pltpu.ANY),      # whole array, HBM
+                         memory_space=pl.ANY),        # whole array, HBM
                                                        # (Mosaic requires
                                                        # trivial ANY specs)
         ],
