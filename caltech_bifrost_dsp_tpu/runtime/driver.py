@@ -278,7 +278,8 @@ class XEnginePipeline:
                  ibeam_outputs=(), history_nbyte: int = 0,
                  autostartat: int = 0, sync_time: int = 0,
                  selftest: bool = False, batch_accumulations: bool = True,
-                 fx_mode: bool = False, quant_scale: float = 1.0):
+                 fx_mode: bool = False, quant_scale: float = 1.0,
+                 mesh=None):
         self.cfg = cfg
         # batch_accumulations: process whole fast accumulations in one
         # device call (the MXU accumulates over the full window with no
@@ -360,6 +361,18 @@ class XEnginePipeline:
             self._adc_tail = np.zeros(
                 ((cfg.pfb_ntap - 1) * 2 * cfg.nchan, cfg.ninput),
                 np.float32)
+        # optional multi-chip execution: the fused step runs shard_map'd
+        # over a ('time','chan') mesh with chan-sharded accumulators
+        # (parallel/mesh.xengine_sharded_state_fn); flag-specialized jits
+        # are built lazily per boundary combination.
+        self.mesh = mesh
+        self._mesh_steps: dict = {}
+        if mesh is not None and fx_mode:
+            raise ValueError("mesh execution currently supports the "
+                             "post-F packed path")
+        if mesh is not None and ibeam_outputs:
+            raise ValueError("VLBI voltage output not yet wired for "
+                             "mesh execution (needs a chan all_gather)")
         self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
         self.perf_compute = PerfTimer(self.corr_cmd.perf_proclog)
@@ -409,6 +422,25 @@ class XEnginePipeline:
         [k*ntime_gulp, nchan, ninput] uint8, or in FX mode raw ADC
         [k*ntime_gulp*2*nchan, ninput] f32."""
         cfg = self.cfg
+        if self.mesh is not None:
+            import jax as _jax
+
+            from ..parallel import mesh as pmesh
+
+            key = (bool(is_first), bool(is_dump), bool(slow_first))
+            if key not in self._mesh_steps:
+                self._mesh_steps[key] = _jax.jit(
+                    pmesh.xengine_sharded_state_fn(cfg, self.mesh, *key))
+            with _jax.set_mesh(self.mesh):
+                st = (self.state.vis_fast, self.state.vis_slow)
+                st, out = self._mesh_steps[key](
+                    st, jnp.asarray(block), gains_dev,
+                    self.subsel_cmd.pairs_device)
+                self.state = xengine.XEngineState(st[0], st[1])
+            return xengine.XEngineOutputs(
+                out.subsel, out.bf_power,
+                jnp.zeros((block.shape[0], cfg.nchan, 2, 2),
+                          jnp.float32))
         if self.fx_mode:
             adc = block.reshape(-1, cfg.ninput)
             adc_ext = np.concatenate([self._adc_tail, adc])

@@ -1,0 +1,53 @@
+"""The threaded pipeline driver running sharded over the 8-device
+virtual mesh, gated by the same golden-vector equality as single-device.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from caltech_bifrost_dsp_tpu import config as cfgmod
+from caltech_bifrost_dsp_tpu.io import sink, source
+from caltech_bifrost_dsp_tpu.parallel import mesh as pmesh
+from caltech_bifrost_dsp_tpu.runtime.driver import XEnginePipeline
+from caltech_bifrost_dsp_tpu.verification import golden
+
+# mesh-compatible operating point: nchan divides the chan axis with
+# nchan_sum-aligned shards; per-(gulp, time-shard) spectra divide
+# ntime_sum
+CFG = cfgmod.XEngineConfig(nstand=8, nchan=32, ntime_gulp=48, acc_len=96,
+                           acc_len_slow=192, nbeam=4, ntime_sum=12,
+                           nchan_sum=4, npipeline=2)
+
+
+def test_pipeline_on_mesh_golden(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 virtual devices")
+    mesh = pmesh.make_mesh(2, 4)
+    ntime = 2 * CFG.acc_len_slow
+    inp = str(tmp_path / "in.dat")
+    corrfile = str(tmp_path / "corr.dat")
+    golden.write_input_file(inp, ntime, CFG.nchan, CFG.nstand, CFG.npol,
+                            CFG.acc_len)
+    golden.write_corr_file(corrfile, ntime, CFG.nchan, CFG.nstand,
+                           CFG.npol, CFG.acc_len)
+    src = source.DummySource(CFG, mode="testfile", testfile=inp)
+    sub_pkts = []
+    corr_out = sink.CorrFullOutput(CFG, checkfile=corrfile,
+                                   checkfile_acc_len=CFG.acc_len)
+    sub_out = sink.CorrPartOutput(CFG, send=sub_pkts.append)
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[corr_out],
+                           subsel_outputs=[sub_out], mesh=mesh)
+    pipe.run(ntime // CFG.ntime_gulp, timeout_s=300)
+    assert pipe.ndump_fast == ntime // CFG.acc_len
+    assert pipe.ndump_slow == 2
+    assert corr_out.check_count == 2 and corr_out.check_failures == 0
+    assert sub_pkts
+
+
+def test_mesh_rejects_vlbi_outputs():
+    mesh = pmesh.make_mesh(2, 4)
+    src = source.DummySource(CFG, mode="random")
+    with pytest.raises(ValueError):
+        XEnginePipeline(CFG, src, mesh=mesh,
+                        ibeam_outputs=[sink.IBeamOutput(CFG)])
