@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="FX-mode 4-bit requantization gain")
     p.add_argument("--fx-tone-chan", type=int, default=-1,
                    help="FX fakesource: put a test tone in this channel")
+    p.add_argument("--mesh", type=str, default=None, metavar="TIMExCHAN",
+                   help="run the fused step sharded over a device mesh, "
+                        "e.g. '2x4' (time x chan axes)")
     p.add_argument("--etcdhost", type=str, default=None,
                    help="etcd server (in-memory store when omitted)")
     p.add_argument("-l", "--logfile", type=str, default=None)
@@ -184,10 +187,17 @@ def build_pipeline(args, log) -> XEnginePipeline:
             cfg, send=sink.UdpSender(*_dest(args.ibeam_dest)),
             pipeline_idx=args.pipelineid + 1))
 
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+
+        n_time, _, n_chan = args.mesh.partition("x")
+        mesh = make_mesh(int(n_time), int(n_chan))
+
     pipe = XEnginePipeline(
         cfg, src, store=store, corr_outputs=corr_outputs,
         subsel_outputs=subsel_outputs, pbeam_outputs=pbeam_outputs,
-        ibeam_outputs=ibeam_outputs,
+        ibeam_outputs=ibeam_outputs, mesh=mesh,
         history_nbyte=int(args.bufgbytes * 1e9),
         autostartat=args.autostartat, sync_time=int(time.time()),
         selftest=args.testcorr, fx_mode=args.fx,
