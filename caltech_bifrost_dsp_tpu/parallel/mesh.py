@@ -219,6 +219,8 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
     packed [ntime, nchan, ninput] ([time, chan]-sharded); gains
     chan-sharded; outputs as in FxOutputs plus the new state.
     """
+    n_chan_shards = mesh.shape["chan"]
+
     def shard_fn(fr, fi, sr, si, packed, gains_r, gains_i, pairs):
         vis_part = corr.correlate_gulp(packed)
         vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
@@ -233,8 +235,16 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
         beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
         power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        # VLBI beam-0 voltages need every channel: gather the small
+        # [t_local, c_local, 2, 2] slab over the 'chan' axis
+        vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
+        if n_chan_shards > 1:
+            vlbi = jax.lax.all_gather(vlbi_local, "chan", axis=1,
+                                      tiled=True)
+        else:
+            vlbi = vlbi_local
         return (fast.real, fast.imag, slow.real, slow.imag,
-                subsel.real, subsel.imag, power)
+                subsel.real, subsel.imag, power, vlbi)
 
     vis_spec = P("chan", None, None)
     mapped = shard_map(
@@ -244,15 +254,16 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                   P("chan", None, None), P("chan", None, None), P()),
         out_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
                    P("chan", None), P("chan", None),
-                   P(None, "time", "chan", None)),
+                   P(None, "time", "chan", None),
+                   P("time", None, None, None)),
         check_vma=False)
 
     def fn(state, packed, gains: bf.BeamGains, pairs):
-        fr, fi, sr, si, subr, subi, power = mapped(
+        fr, fi, sr, si, subr, subi, power, vlbi = mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             packed, gains.real, gains.imag, pairs)
         return ((Vis(fr, fi), Vis(sr, si)),
-                FxOutputs(Vis(fr, fi), Vis(subr, subi), power))
+                FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
 
     return fn
 

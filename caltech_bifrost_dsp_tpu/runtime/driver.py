@@ -370,9 +370,6 @@ class XEnginePipeline:
         if mesh is not None and fx_mode:
             raise ValueError("mesh execution currently supports the "
                              "post-F packed path")
-        if mesh is not None and ibeam_outputs:
-            raise ValueError("VLBI voltage output not yet wired for "
-                             "mesh execution (needs a chan all_gather)")
         self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
         self.perf_compute = PerfTimer(self.corr_cmd.perf_proclog)
@@ -433,14 +430,11 @@ class XEnginePipeline:
                     pmesh.xengine_sharded_state_fn(cfg, self.mesh, *key))
             with _jax.set_mesh(self.mesh):
                 st = (self.state.vis_fast, self.state.vis_slow)
-                st, out = self._mesh_steps[key](
+                st, out, vlbi = self._mesh_steps[key](
                     st, jnp.asarray(block), gains_dev,
                     self.subsel_cmd.pairs_device)
                 self.state = xengine.XEngineState(st[0], st[1])
-            return xengine.XEngineOutputs(
-                out.subsel, out.bf_power,
-                jnp.zeros((block.shape[0], cfg.nchan, 2, 2),
-                          jnp.float32))
+            return xengine.XEngineOutputs(out.subsel, out.bf_power, vlbi)
         if self.fx_mode:
             adc = block.reshape(-1, cfg.ninput)
             adc_ext = np.concatenate([self._adc_tail, adc])

@@ -45,9 +45,16 @@ def test_pipeline_on_mesh_golden(tmp_path):
     assert sub_pkts
 
 
-def test_mesh_rejects_vlbi_outputs():
+def test_mesh_vlbi_output_flows():
+    """VLBI voltages gather over the chan axis and stream in mesh mode."""
     mesh = pmesh.make_mesh(2, 4)
     src = source.DummySource(CFG, mode="random")
-    with pytest.raises(ValueError):
-        XEnginePipeline(CFG, src, mesh=mesh,
-                        ibeam_outputs=[sink.IBeamOutput(CFG)])
+    pkts = []
+    ib = sink.IBeamOutput(CFG, send=pkts.append)
+    pipe = XEnginePipeline(CFG, src, mesh=mesh, ibeam_outputs=[ib])
+    pipe.run(CFG.acc_len // CFG.ntime_gulp, timeout_s=300)
+    assert len(pkts) == CFG.acc_len  # one packet per time sample
+    from caltech_bifrost_dsp_tpu.io import packets as pk
+
+    hdr, data = pk.decode_ibeam(pkts[0])
+    assert hdr.nchan == CFG.nchan and data.shape == (CFG.nchan, 2, 2)

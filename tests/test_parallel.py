@@ -110,11 +110,12 @@ def test_xengine_sharded_stateful_stream(rng):
     state = (zero_vis(cfg.nchan, cfg.ninput),
              zero_vis(cfg.nchan, cfg.ninput))
     with jax.set_mesh(mesh):
-        state, out1 = step_mid(state, gulps[0], gains, pairs)
-        state, out2 = step_end(state, gulps[1], gains, pairs)
+        state, out1, _ = step_mid(state, gulps[0], gains, pairs)
+        state, out2, vlbi = step_end(state, gulps[1], gains, pairs)
         fast_r = np.asarray(state[0].real)
         slow_r = np.asarray(state[1].real)
         sub_r = np.asarray(out2.subsel.real)
+        vlbi_np = np.asarray(vlbi)
     # single-device reference
     ref_state = xengine.init_state(cfg)
     ref_state, _ = xengine.xengine_step_jit(
@@ -124,6 +125,8 @@ def test_xengine_sharded_stateful_stream(rng):
     np.testing.assert_array_equal(fast_r, np.asarray(ref_state.vis_fast.real))
     np.testing.assert_array_equal(slow_r, np.asarray(ref_state.vis_slow.real))
     np.testing.assert_array_equal(sub_r, np.asarray(ref_out.subsel.real))
+    np.testing.assert_allclose(vlbi_np, np.asarray(ref_out.vlbi),
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_corr_stand_sharded_matches_unsharded(rng):
