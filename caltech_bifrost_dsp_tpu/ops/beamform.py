@@ -109,9 +109,11 @@ def beamform_gulp(packed: jax.Array, gains: BeamGains,
     xi = xi8.astype(jnp.float32)
 
     def bm(w, x):
+        # HIGH = 3-pass bf16 decomposition: ~1e-6 relative error (the
+        # reference gate is 1e-4) at half the MXU passes of HIGHEST
         return jax.lax.dot_general(
             w, x, dimension_numbers=_BM_DN,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)
 
     br = bm(gains.real, xr) - bm(gains.imag, xi)

@@ -106,9 +106,9 @@ def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
         cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
         fir2 = jnp.moveaxis(fir, 1, -1)       # [nspec, ..., L]
         re = jnp.matmul(fir2, cos_m,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=jax.lax.Precision.HIGH)
         im = jnp.matmul(fir2, msin_m,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=jax.lax.Precision.HIGH)
         spec = jnp.moveaxis(re + 1j * im, -1, 1)
         return spec.astype(jnp.complex64)
     spec = jnp.fft.rfft(fir, axis=1)          # [nspec, nchan+1, ...]
@@ -145,7 +145,7 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
               for k in range(ntap))           # [nspec, L, ...]
     cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
     fir2 = jnp.moveaxis(fir, 1, -1)           # [nspec, ..., L]
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGH
     re = jnp.moveaxis(jnp.matmul(fir2, cos_m, precision=hp), -1, 1)
     im = jnp.moveaxis(jnp.matmul(fir2, msin_m, precision=hp), -1, 1)
     return re, im
@@ -199,7 +199,7 @@ def upchannelize(x: jax.Array, nup: int, axis_time: int = 0,
         cos_m, msin_m = (jnp.asarray(m) for m in cdft_matrices(nup))
         fr = jnp.moveaxis(jnp.real(frames), 1, -1)
         fi = jnp.moveaxis(jnp.imag(frames), 1, -1)
-        hp = jax.lax.Precision.HIGHEST
+        hp = jax.lax.Precision.HIGH
         re = jnp.matmul(fr, cos_m, precision=hp) \
             - jnp.matmul(fi, msin_m, precision=hp)
         im = jnp.matmul(fr, msin_m, precision=hp) \
