@@ -17,8 +17,8 @@ beamform_block.py:230-241) and x the unpacked 4+4-bit voltages.  Beam pairs
 (trans_output_and_sum, cublas_beamform.cu:46-79) integrates ``ntime_sum``
 samples into [XX, YY, Re(XY*), Im(XY*)].
 
-f32 matmuls with HIGHEST precision keep the small-integer voltages exact and
-gain rounding at f32 epsilon, comfortably inside the reference test gate of
+f32 matmuls at HIGH precision (3-pass bf16 decomposition, ~1e-6 relative
+error) keep the result comfortably inside the reference test gate of
 ``np.isclose(rtol=1e-4)`` (reference: tests/beamformer/beamformer_test.py:106-109).
 """
 
