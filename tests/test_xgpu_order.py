@@ -86,6 +86,39 @@ def test_baseline_order_maps_natural_order():
                     np.testing.assert_array_equal(v, ref[:, s0, s1, p0, p1])
 
 
+def test_baseline_order_maps_permuted_input_order():
+    """Arbitrary (stand,pol)->input wiring: the maps must still fetch
+    v(s0,p0)*conj(v(s1,p1)) for every pair — the real purpose of
+    bfXgpuGetOrder (corr_block.py:317-333)."""
+    rng = np.random.RandomState(5)
+    ninput = NSTAND * NPOL
+    perm = rng.permutation(ninput)
+    ant_to_input = perm.reshape(NSTAND, NPOL)
+    a2bl, is_conj = xgpu_order.baseline_order_maps(ant_to_input)
+    block = next(golden.generate_input_blocks(NTIME, NCHAN, NSTAND, NPOL,
+                                              NTIME))
+    # physical stream ordered by stand/pol; correlator sees inputs in
+    # 'input index' order: input i carries the antpol with
+    # ant_to_input[s,p] == i
+    phys = block.reshape(NTIME, NCHAN, ninput)
+    corr_in = np.empty_like(phys)
+    corr_in[:, :, perm] = phys  # input perm[k] carries antpol k
+    vis = correlate.correlate_gulp(jnp.asarray(corr_in))
+    dense = correlate.vis_to_numpy_complex(vis)
+    buf = xgpu_order.pack_regtile(dense)
+    ref = golden.reference_correlation(block)
+    for s0 in range(NSTAND):
+        for s1 in range(NSTAND):
+            for p0 in range(NPOL):
+                for p1 in range(NPOL):
+                    w = a2bl[s0, s1, p0, p1]
+                    v = buf[0, :, w] + 1j * buf[1, :, w]
+                    if is_conj[s0, s1, p0, p1]:
+                        v = np.conj(v)
+                    np.testing.assert_array_equal(
+                        v, ref[:, s0, s1, p0, p1])
+
+
 def test_reorder_full_matches_golden():
     block = next(golden.generate_input_blocks(NTIME, NCHAN, NSTAND, NPOL,
                                               NTIME))
