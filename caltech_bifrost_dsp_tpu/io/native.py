@@ -64,6 +64,14 @@ def load():
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_double,
         ctypes.c_double, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_double, ctypes.c_char_p]
+    lib.cbd_cor5c_send_matrix.restype = ctypes.c_int64
+    lib.cbd_cor5c_send_matrix.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
+        ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.c_double, ctypes.c_char_p]
     _lib = lib
     return lib
 
@@ -155,6 +163,36 @@ def cor_send_matrix(vis_re: np.ndarray, vis_im: np.ndarray, nstand: int,
         dump_path.encode() if dump_path else None)
     if sent < 0:
         raise OSError("native COR send failed")
+    return int(sent)
+
+
+def cor5c_send_matrix(vis_re: np.ndarray, vis_im: np.ndarray, nstand: int,
+                      npol: int, frame_number: int, secs_count: int,
+                      freq_count: int, time_tag: int, navg: int,
+                      dest_ip: str = "", port: int = 0,
+                      max_mbps: float = -1.0,
+                      dump_path: str | None = None) -> int:
+    """Packetize + emit a dense visibility matrix as LWA-SV COR (Mark5C)
+    packets in C++ — the production format + rate path (bifrost
+    UDPTransmit('cor_<nchan>') / DiskWriter equivalent,
+    reference: corr_output_full_block.py:497-548,655-664).
+
+    time_tag/navg are in ADC sample units; frame_number is the 24-bit
+    subband encoding from :func:`..io.packets.cor_frame_number`.
+    """
+    lib = load()
+    vis_re = np.ascontiguousarray(vis_re, np.int32)
+    vis_im = np.ascontiguousarray(vis_im, np.int32)
+    nchan = vis_re.shape[0]
+    sent = lib.cbd_cor5c_send_matrix(
+        dest_ip.encode(), port,
+        vis_re.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vis_im.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nchan, nstand, npol, frame_number, secs_count, freq_count,
+        time_tag, navg, max_mbps,
+        dump_path.encode() if dump_path else None)
+    if sent < 0:
+        raise OSError("native COR(Mark5C) send failed")
     return int(sent)
 
 

@@ -11,6 +11,13 @@ Formats are taken from the reference's specifications:
   ``[npol, npol, nchan, 2]`` payload
   (reference: docs/source/outputs.rst "Full Correlation Packets";
   struct pack strings at corr_output_full_block.py:446-479).
+- LWA-SV "COR" (Mark5C) packets — the production output format
+  (``use_cor_fmt=True``): 32-byte big-endian Mark5C header + int32
+  ``[nchan, npol, npol, 2]`` payload.  Spec: the struct/table in the
+  corr_output_full_block.py docstring (lines 216-285) and the working
+  decoder at reference:
+  pipeline/test_receivers/corr_full_rx_bifrost_packets.py:28-42
+  (``struct.unpack('>IIIHHQIHH', pkt[0:32])``, payload ``'>i4'``).
 - Partial (fast) correlation packets: variable-length big-endian header
   carrying the baseline list (outputs.rst "Partial Correlation Packets").
 - PBEAM power-beam packets: 18-byte header + f32
@@ -140,6 +147,92 @@ def decode_corr_full(pkt: bytes) -> tuple[CorrFullHeader, np.ndarray]:
     hdr = CorrFullHeader(*fields)
     data = np.frombuffer(pkt, dtype=">i4", offset=_COR_FULL_HDR.size)
     return hdr, data.reshape(hdr.npols, hdr.npols, hdr.nchans, 2)
+
+
+# ---------------------------------------------------------------------------
+# LWA-SV "COR" (Mark5C) packets — the production output format
+# ---------------------------------------------------------------------------
+
+COR_SYNC_WORD = 0xDEC0DE5C   # Mark 5C magic
+COR_ID = 0x02                # Mark 5C packet-type ID for COR
+
+# sync_word, id<<24|frame_number, secs_count, freq_count, cor_gain,
+# time_tag, cor_navg, stand_i, stand_j  (32 bytes, network order;
+# reference decoder: corr_full_rx_bifrost_packets.py:31)
+_COR5C_HDR = struct.Struct(">IIIHHQIHH")
+
+
+def cor_frame_number(nchan_sum: int, npipeline: int,
+                     pipeline_idx: int) -> int:
+    """24-bit COR frame number: channel-decimation fraction, total
+    subbands, and 1-indexed subband of this packet stream
+    (reference: corr_output_full_block.py:378-381)."""
+    wrapped_idx = ((pipeline_idx - 1) % npipeline) + 1
+    return ((nchan_sum << 16) | (npipeline << 8) | wrapped_idx) & 0xFFFFFF
+
+
+@dataclass
+class CorHeader:
+    frame_number: int   # 24-bit subband encoding (see cor_frame_number)
+    secs_count: int     # Mark 5C seconds count (unused by receivers)
+    freq_count: int     # zero-indexed first F-engine channel in packet
+    cor_gain: int       # right bitshift gain compensation (0)
+    time_tag: int       # central sampling time, ADC sample units
+    cor_navg: int       # integration time, ADC sample units
+    stand_i: int        # 1-indexed unconjugated stand
+    stand_j: int        # 1-indexed conjugated stand
+
+
+def encode_cor(hdr: CorHeader, data: np.ndarray) -> bytes:
+    """data: int32 [nchan, npol, npol, 2] (chan-major, unlike the custom
+    full-corr format) for one dual-pol baseline."""
+    if data.ndim != 4 or data.shape[3] != 2:
+        raise ValueError("payload must be [nchan, npol, npol, 2]")
+    return _COR5C_HDR.pack(
+        COR_SYNC_WORD, (COR_ID << 24) | (hdr.frame_number & 0xFFFFFF),
+        hdr.secs_count, hdr.freq_count, hdr.cor_gain, hdr.time_tag,
+        hdr.cor_navg, hdr.stand_i, hdr.stand_j) + \
+        np.ascontiguousarray(data, dtype=">i4").tobytes()
+
+
+def decode_cor(pkt: bytes, npol: int = 2) -> tuple[CorHeader, np.ndarray]:
+    (sync, id_frame, secs, freq, gain, time_tag, navg, stand_i,
+     stand_j) = _COR5C_HDR.unpack_from(pkt)
+    if sync != COR_SYNC_WORD:
+        raise ValueError(f"bad COR sync word {sync:#x}")
+    if (id_frame >> 24) != COR_ID:
+        raise ValueError(f"bad COR packet id {id_frame >> 24:#x}")
+    hdr = CorHeader(frame_number=id_frame & 0xFFFFFF, secs_count=secs,
+                    freq_count=freq, cor_gain=gain, time_tag=time_tag,
+                    cor_navg=navg, stand_i=stand_i, stand_j=stand_j)
+    data = np.frombuffer(pkt, dtype=">i4", offset=_COR5C_HDR.size)
+    return hdr, data.reshape(-1, npol, npol, 2)
+
+
+def cor_scatter_matrix(packets, nstand: int, npol: int = 2,
+                       nchan_tot: int | None = None) -> np.ndarray:
+    """Reassemble COR packets into a full Hermitian visibility cube —
+    the reference receiver's scatter-with-conjugation loop
+    (corr_full_rx_bifrost_packets.py:96-103).
+
+    Returns int64 [nstand, nstand, npol, npol, nchan_tot, 2].
+    """
+    out = None
+    for pkt in packets:
+        hdr, data = decode_cor(pkt, npol)
+        nchan = data.shape[0]
+        if out is None:
+            nc = nchan_tot or nchan
+            out = np.zeros((nstand, nstand, npol, npol, nc, 2), np.int64)
+        i, j = hdr.stand_i - 1, hdr.stand_j - 1
+        c0 = hdr.freq_count % out.shape[4]
+        for p0 in range(npol):
+            for p1 in range(npol):
+                out[i, j, p0, p1, c0:c0 + nchan, 0] = data[:, p0, p1, 0]
+                out[i, j, p0, p1, c0:c0 + nchan, 1] = data[:, p0, p1, 1]
+                out[j, i, p0, p1, c0:c0 + nchan, 0] = data[:, p1, p0, 0]
+                out[j, i, p0, p1, c0:c0 + nchan, 1] = -data[:, p1, p0, 1]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -4,10 +4,17 @@ triggered voltage dump.
 Parity targets:
 - CorrOutputFull: one dual-pol baseline per packet over the upper triangle,
   Mbps throttling every ~1 MB, optional golden-file equality check
-  (reference: blocks/corr_output_full_block.py:439-603).
-- CorrOutputPart: bursts of ``nvis_per_packet`` subselected visibilities
-  with the baseline map in each header
-  (reference: blocks/corr_output_part_block.py).
+  (reference: blocks/corr_output_full_block.py:439-603).  Two wire formats,
+  selected by ``use_cor_fmt`` exactly as in the reference (:655-664): the
+  custom 56-byte struct, or the production LWA-SV "COR" Mark5C format
+  (32-byte header, chan-major payload, 1-indexed stands).  With
+  ``dest_file`` both formats stream the same packets to a file — the
+  bifrost ``DiskWriter('cor_<nchan>')`` mode.
+- CorrOutputPart: custom format sends bursts of ``nvis_per_packet``
+  subselected visibilities with the baseline map in each header; COR format
+  sends one dual-pol baseline per packet with stands taken from the
+  upper-triangle enumeration of the effective stand count, as bifrost's
+  packetizer does (reference: blocks/corr_output_part_block.py:366-401).
 - BeamformOutput: per-beam PBEAM streams with per-beam destinations
   (reference: blocks/beamform_output_block.py:248-300).
 - BeamformVlbiOutput: IBEAM voltage packets, burst-throttled to 0.6 Gb/s
@@ -70,12 +77,14 @@ class CorrFullOutput:
 
     def __init__(self, cfg, send=None, max_mbps: int = -1,
                  checkfile: str | None = None, checkfile_acc_len: int = 0,
-                 native_dest: tuple[str, int] | None = None):
+                 native_dest: tuple[str, int] | None = None,
+                 use_cor_fmt: bool = False):
         self.cfg = cfg
         self.send = send
         self.max_mbps = max_mbps
         self.native_dest = native_dest  # (ip, port): use the C++
         # packetizer (byte-identical packets, ~50x rate)
+        self.use_cor_fmt = use_cor_fmt
         self.throttle = Throttle(max_mbps * 1e6 if max_mbps > 0 else None)
         self.perf = PerfTimer()
         self.checkfile = checkfile
@@ -100,11 +109,23 @@ class CorrFullOutput:
             return self.send_matrix(dense, sync_time, spectra_id, acc_len)
         ip, port = self.native_dest
         self.perf.tick()
-        n = native.cor_send_matrix(
-            vis_re, vis_im, cfg.nstand, cfg.npol, sync_time, spectra_id,
-            cfg.nchan * cfg.chan_bw_hz, cfg.sfreq_hz, acc_len, cfg.chan0,
-            dest_ip=ip, port=port, max_mbps=float(self.max_mbps))
-        self.perf.mark_process(n * (56 + cfg.npol * cfg.npol
+        if self.use_cor_fmt:
+            sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
+            n = native.cor5c_send_matrix(
+                vis_re, vis_im, cfg.nstand, cfg.npol,
+                pk.cor_frame_number(1, cfg.npipeline, cfg.pipeline_id + 1),
+                int(sync_time + spectra_id
+                    / cfg.spectra_rate_hz) & 0xFFFFFFFF,
+                cfg.chan0 & 0xFFFF, spectra_id * sps, acc_len * sps,
+                dest_ip=ip, port=port, max_mbps=float(self.max_mbps))
+        else:
+            n = native.cor_send_matrix(
+                vis_re, vis_im, cfg.nstand, cfg.npol, sync_time,
+                spectra_id, cfg.nchan * cfg.chan_bw_hz, cfg.sfreq_hz,
+                acc_len, cfg.chan0, dest_ip=ip, port=port,
+                max_mbps=float(self.max_mbps))
+        hdr_nbyte = 32 if self.use_cor_fmt else 56
+        self.perf.mark_process(n * (hdr_nbyte + cfg.npol * cfg.npol
                                     * cfg.nchan * 8))
         return n
 
@@ -152,27 +173,48 @@ class CorrFullOutput:
         self.perf.tick()
         v = vis_dense.reshape(cfg.nchan, cfg.nstand, cfg.npol, cfg.nstand,
                               cfg.npol)
+        # COR-format header arithmetic
+        # (corr_output_full_block.py:624,676-677): time units are ADC
+        # samples, samples_per_spectra = nchan*fs/bw = fs/chan_bw.
+        sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
+        frame_number = pk.cor_frame_number(1, cfg.npipeline,
+                                           cfg.pipeline_id + 1)
         npkt = 0
         for s0 in range(cfg.nstand):
             block = v[:, s0, :, s0:, :]  # [chan, p0, nstand-s0, p1]
             for j in range(block.shape[2]):
                 z = block[:, :, j, :]           # [chan, p0, p1]
-                data = np.empty((cfg.npol, cfg.npol, cfg.nchan, 2),
-                                np.int32)
-                zz = np.transpose(z, (1, 2, 0))  # [p0, p1, chan]
-                data[..., 0] = zz.real
-                data[..., 1] = zz.imag
-                hdr = pk.CorrFullHeader(
-                    sync_time=sync_time, spectra_id=spectra_id,
-                    bw_hz=cfg.nchan * cfg.chan_bw_hz,
-                    sfreq_hz=cfg.sfreq_hz, acc_len=acc_len,
-                    nchans=cfg.nchan, chan0=cfg.chan0, npols=cfg.npol,
-                    stand0=s0, stand1=s0 + j)
-                pkt = pk.encode_corr_full(hdr, data)
+                if self.use_cor_fmt:
+                    data = np.empty((cfg.nchan, cfg.npol, cfg.npol, 2),
+                                    np.int32)
+                    data[..., 0] = z.real
+                    data[..., 1] = z.imag
+                    hdr5c = pk.CorHeader(
+                        frame_number=frame_number,
+                        secs_count=int(sync_time + spectra_id
+                                       / cfg.spectra_rate_hz) & 0xFFFFFFFF,
+                        freq_count=cfg.chan0 & 0xFFFF, cor_gain=0,
+                        time_tag=spectra_id * sps, cor_navg=acc_len * sps,
+                        stand_i=s0 + 1, stand_j=s0 + j + 1)
+                    pkt = pk.encode_cor(hdr5c, data)
+                else:
+                    data = np.empty((cfg.npol, cfg.npol, cfg.nchan, 2),
+                                    np.int32)
+                    zz = np.transpose(z, (1, 2, 0))  # [p0, p1, chan]
+                    data[..., 0] = zz.real
+                    data[..., 1] = zz.imag
+                    hdr = pk.CorrFullHeader(
+                        sync_time=sync_time, spectra_id=spectra_id,
+                        bw_hz=cfg.nchan * cfg.chan_bw_hz,
+                        sfreq_hz=cfg.sfreq_hz, acc_len=acc_len,
+                        nchans=cfg.nchan, chan0=cfg.chan0, npols=cfg.npol,
+                        stand0=s0, stand1=s0 + j)
+                    pkt = pk.encode_corr_full(hdr, data)
                 self.send(pkt)
                 self.throttle.account(8 * len(pkt))
                 npkt += 1
-        self.perf.mark_process(npkt * (56 + cfg.npol * cfg.npol
+        hdr_nbyte = 32 if self.use_cor_fmt else 56
+        self.perf.mark_process(npkt * (hdr_nbyte + cfg.npol * cfg.npol
                                        * cfg.nchan * 8))
         return npkt
 
@@ -182,11 +224,52 @@ class CorrPartOutput:
     (corr_output_part_block.py:346-364)."""
 
     def __init__(self, cfg, send=None, nvis_per_packet: int = 16,
-                 max_mbps: int = -1):
+                 max_mbps: int = -1, use_cor_fmt: bool = False):
         self.cfg = cfg
         self.send = send
         self.nvis_per_packet = nvis_per_packet
+        self.use_cor_fmt = use_cor_fmt
         self.throttle = Throttle(max_mbps * 1e6 if max_mbps > 0 else None)
+
+    def _send_subsel_cor(self, subsel_re: np.ndarray,
+                         subsel_im: np.ndarray, spectra_id: int,
+                         acc_len: int, sync_time: int) -> int:
+        """COR-format fast visibilities: one dual-pol baseline per packet,
+        stand pair from the upper-triangle enumeration of the effective
+        stand count — bifrost's source-number mapping
+        (corr_output_part_block.py:366-401; 'assume ordered so all the
+        stand0 baselines come first')."""
+        cfg = self.cfg
+        nchan_out, nvis = subsel_re.shape
+        nbl = nvis // (cfg.npol * cfg.npol)
+        nstand_virt = int((-1 + np.sqrt(1 + 8 * nbl)) / 2)
+        sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
+        frame_number = pk.cor_frame_number(cfg.nchan_sum, cfg.npipeline,
+                                           cfg.pipeline_id + 1)
+        # [nchan, nbl, p0, p1] view of the consecutive-4 pol blocks
+        re = subsel_re.reshape(nchan_out, nbl, cfg.npol, cfg.npol)
+        im = subsel_im.reshape(nchan_out, nbl, cfg.npol, cfg.npol)
+        npkt = 0
+        b = 0
+        for i in range(nstand_virt):
+            for j in range(i, nstand_virt):
+                data = np.empty((nchan_out, cfg.npol, cfg.npol, 2),
+                                np.int32)
+                data[..., 0] = re[:, b]
+                data[..., 1] = im[:, b]
+                hdr = pk.CorHeader(
+                    frame_number=frame_number,
+                    secs_count=int(sync_time + spectra_id
+                                   / cfg.spectra_rate_hz) & 0xFFFFFFFF,
+                    freq_count=cfg.chan0 & 0xFFFF, cor_gain=0,
+                    time_tag=spectra_id * sps, cor_navg=acc_len * sps,
+                    stand_i=i + 1, stand_j=j + 1)
+                pkt = pk.encode_cor(hdr, data)
+                self.send(pkt)
+                self.throttle.account(8 * len(pkt))
+                npkt += 1
+                b += 1
+        return npkt
 
     def send_subsel(self, subsel_re: np.ndarray, subsel_im: np.ndarray,
                     baselines: np.ndarray, sync_time: int, spectra_id: int,
@@ -194,6 +277,9 @@ class CorrPartOutput:
         if self.send is None:
             return 0
         cfg = self.cfg
+        if self.use_cor_fmt:
+            return self._send_subsel_cor(subsel_re, subsel_im, spectra_id,
+                                         acc_len, sync_time)
         nchan_out, nvis = subsel_re.shape
         bl = np.asarray(baselines, np.uint32)
         npkt = 0

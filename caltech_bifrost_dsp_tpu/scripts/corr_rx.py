@@ -49,6 +49,36 @@ def receive_matrix(sock, nstand: int, npol: int, nchan: int,
     return last_hdr, outbuf
 
 
+def receive_matrix_cor(sock, nstand: int, npol: int, nchan: int,
+                       timeout_s: float = 30.0):
+    """COR (Mark5C) variant — parity with
+    reference: test_receivers/corr_full_rx_bifrost_packets.py:96-103.
+    Returns (CorHeader, complex128 [nstand, nstand, npol, npol, nchan])."""
+    n_bl = nstand * (nstand + 1) // 2
+    outbuf = np.zeros([nstand, nstand, npol, npol, nchan], np.complex128)
+    sock.settimeout(timeout_s)
+    time_tag = None
+    got = 0
+    last_hdr = None
+    while got < n_bl:
+        pkt = sock.recv(65536)
+        hdr, payload = pk.decode_cor(pkt, npol)
+        if time_tag is None:
+            time_tag = hdr.time_tag
+        elif hdr.time_tag != time_tag:
+            continue
+        last_hdr = hdr
+        i, j = hdr.stand_i - 1, hdr.stand_j - 1
+        for p0 in range(npol):
+            for p1 in range(npol):
+                outbuf[i, j, p0, p1] = (payload[:, p0, p1, 0]
+                                        + 1j * payload[:, p0, p1, 1])
+                outbuf[j, i, p0, p1] = (payload[:, p1, p0, 0]
+                                        - 1j * payload[:, p1, p0, 1])
+        got += 1
+    return last_hdr, outbuf
+
+
 def write_rx_file(path_dir, hdr, outbuf, nstand, npol):
     """Reference output naming + format (corr_full_rx.py:103-130)."""
     fname = os.path.join(
@@ -74,11 +104,21 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--npol", type=int, default=2)
     p.add_argument("-c", "--nchan", type=int, default=192)
     p.add_argument("--outpath", type=str, default=".")
+    p.add_argument("--cor-fmt", action="store_true",
+                   help="decode LWA-SV COR (Mark5C) packets instead of "
+                        "the custom 56-byte format")
     args = p.parse_args(argv)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 64 * 1024 * 1024)
     sock.bind((args.ip, args.port))
-    hdr, outbuf = receive_matrix(sock, args.nstand, args.npol, args.nchan)
+    rx = receive_matrix_cor if args.cor_fmt else receive_matrix
+    hdr, outbuf = rx(sock, args.nstand, args.npol, args.nchan)
+    if args.cor_fmt:
+        # adapt the Mark5C header to the .dat naming fields
+        hdr = pk.CorrFullHeader(
+            sync_time=0, spectra_id=hdr.time_tag, bw_hz=0.0, sfreq_hz=0.0,
+            acc_len=hdr.cor_navg, nchans=args.nchan,
+            chan0=hdr.freq_count, npols=args.npol, stand0=0, stand1=0)
     fname = write_rx_file(args.outpath, hdr, outbuf, args.nstand,
                           args.npol)
     print("wrote", fname)

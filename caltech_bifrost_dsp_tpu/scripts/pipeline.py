@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pbeam-dest", type=str, default=None)
     p.add_argument("--ibeam-dest", type=str, default=None)
     p.add_argument("--max_mbps", type=int, default=1500)
+    p.add_argument("--cor-fmt", action="store_true",
+                   help="emit the production LWA-SV COR (Mark5C) wire "
+                        "format on the full/partial visibility outputs "
+                        "(reference use_cor_fmt=True default)")
     p.add_argument("--bufgbytes", type=float, default=0.0,
                    help="deep trigger-history buffer size in GB")
     p.add_argument("--ngulp", type=int, default=0,
@@ -169,11 +173,13 @@ def build_pipeline(args, log) -> XEnginePipeline:
         corr_outputs.append(sink.CorrFullOutput(
             cfg, send=send, max_mbps=args.max_mbps,
             checkfile=args.testdatacorr,
-            checkfile_acc_len=args.testdatacorr_acc_len))
+            checkfile_acc_len=args.testdatacorr_acc_len,
+            use_cor_fmt=args.cor_fmt))
     subsel_outputs = []
     if args.subsel_dest:
         subsel_outputs.append(sink.CorrPartOutput(
-            cfg, send=sink.UdpSender(*_dest(args.subsel_dest))))
+            cfg, send=sink.UdpSender(*_dest(args.subsel_dest)),
+            use_cor_fmt=args.cor_fmt))
     pbeam_outputs = []
     if args.pbeam_dest:
         ip, port = _dest(args.pbeam_dest)

@@ -68,6 +68,31 @@ int64_t cbd_transmit_gulp(const char *dest_ip, int port,
                           int npol_per_pkt, long delay_ns,
                           int miss_every);
 
+/* Packetize a dense int32 visibility cube as full-correlation packets
+ * (custom 56-byte format) over UDP or to a file.  Returns packets
+ * emitted, or -1 on error. */
+int64_t cbd_cor_send_matrix(const char *dest_ip, int port,
+                            const int32_t *vis_re, const int32_t *vis_im,
+                            int nchan, int nstand, int npol,
+                            uint64_t sync_time, uint64_t spectra_id,
+                            double bw_hz, double sfreq_hz,
+                            uint32_t acc_len, uint32_t chan0,
+                            double max_mbps, const char *dump_path);
+
+/* Same, in the production LWA-SV "COR" Mark5C format (32-byte header,
+ * chan-major payload, 1-indexed stands; spec per the reference's
+ * corr_output_full_block.py docstring and the decoder at
+ * test_receivers/corr_full_rx_bifrost_packets.py:28-42).  time_tag and
+ * navg are in ADC sample units; frame_number is the 24-bit subband
+ * encoding (decimation<<16 | nsubband<<8 | subband). */
+int64_t cbd_cor5c_send_matrix(const char *dest_ip, int port,
+                              const int32_t *vis_re,
+                              const int32_t *vis_im, int nchan,
+                              int nstand, int npol, uint32_t frame_number,
+                              uint32_t secs_count, uint16_t freq_count,
+                              uint64_t time_tag, uint32_t navg,
+                              double max_mbps, const char *dump_path);
+
 #ifdef __cplusplus
 }
 #endif

@@ -46,7 +46,141 @@ inline double bswapd(double d) {
   return d;
 }
 
+/* LWA-SV COR Mark5C header (32 bytes, network order; decoder contract:
+ * reference test_receivers/corr_full_rx_bifrost_packets.py:31). */
+struct __attribute__((packed)) Cor5cHdr {
+  uint32_t sync_word;   /* 0xDEC0DE5C */
+  uint32_t id_frame;    /* 0x02 << 24 | 24-bit frame number */
+  uint32_t secs_count;
+  uint16_t freq_count;
+  uint16_t cor_gain;
+  uint64_t time_tag;
+  uint32_t navg;
+  uint16_t stand_i;     /* 1-indexed, unconjugated */
+  uint16_t stand_j;     /* 1-indexed, conjugated */
+};
+
+/* Shared UDP-or-file emitter with the reference's ~1 MB throttle cadence
+ * (corr_output_full_block.py:462-473). */
+struct Emitter {
+  int fd = -1;
+  FILE *fh = nullptr;
+  double max_mbps;
+  long long bits = 0;
+  timespec t0{};
+
+  bool open(const char *dest_ip, int port, const char *dump_path,
+            double mbps) {
+    max_mbps = mbps;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    if (dump_path && *dump_path) {
+      fh = fopen(dump_path, "ab");
+      return fh != nullptr;
+    }
+    fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return false;
+    int sndbuf = 32 * 1024 * 1024;
+    setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    addr.sin_addr.s_addr = inet_addr(dest_ip);
+    if (connect(fd, (sockaddr *)&addr, sizeof(addr)) != 0) {
+      close(fd);
+      fd = -1;
+      return false;
+    }
+    return true;
+  }
+
+  bool emit(const uint8_t *pkt, size_t n) {
+    if (fh) {
+      if (fwrite(pkt, 1, n, fh) != n) return false;
+    } else if (send(fd, pkt, n, 0) < 0) {
+      timespec b = {0, 50 * 1000};
+      nanosleep(&b, nullptr);
+      if (send(fd, pkt, n, 0) < 0) return true; /* drop, keep going */
+    }
+    if (max_mbps > 0) {
+      bits += 8 * (long long)n;
+      if (bits >= 8'000'000) {
+        timespec now;
+        clock_gettime(CLOCK_MONOTONIC, &now);
+        double elapsed = (now.tv_sec - t0.tv_sec) +
+                         (now.tv_nsec - t0.tv_nsec) * 1e-9;
+        double min_time = bits / (max_mbps * 1e6);
+        if (min_time > elapsed) {
+          double delay = min_time - elapsed;
+          timespec d = {(time_t)delay,
+                        (long)((delay - (time_t)delay) * 1e9)};
+          nanosleep(&d, nullptr);
+        }
+        clock_gettime(CLOCK_MONOTONIC, &t0);
+        bits = 0;
+      }
+    }
+    return true;
+  }
+
+  ~Emitter() {
+    if (fh) fclose(fh);
+    if (fd >= 0) close(fd);
+  }
+};
+
 }  // namespace
+
+extern "C" int64_t cbd_cor5c_send_matrix(
+    const char *dest_ip, int port,
+    const int32_t *vis_re,  // [nchan, ninput, ninput] dense
+    const int32_t *vis_im, int nchan, int nstand, int npol,
+    uint32_t frame_number, uint32_t secs_count, uint16_t freq_count,
+    uint64_t time_tag, uint32_t navg, double max_mbps,
+    const char *dump_path) {
+  const int ninput = nstand * npol;
+  const size_t payload_words = (size_t)npol * npol * nchan * 2;
+  const size_t pkt_size = sizeof(Cor5cHdr) + payload_words * 4;
+
+  Emitter out;
+  if (!out.open(dest_ip, port, dump_path, max_mbps)) return -1;
+
+  std::vector<uint8_t> pkt(pkt_size);
+  auto *h = reinterpret_cast<Cor5cHdr *>(pkt.data());
+  h->sync_word = bswap32(0xDEC0DE5Cu);
+  h->id_frame = bswap32((0x02u << 24) | (frame_number & 0xFFFFFFu));
+  h->secs_count = bswap32(secs_count);
+  h->freq_count = __builtin_bswap16(freq_count);
+  h->cor_gain = 0;
+  h->time_tag = bswap64(time_tag);
+  h->navg = bswap32(navg);
+  auto *payload = reinterpret_cast<int32_t *>(pkt.data() + sizeof(Cor5cHdr));
+
+  int64_t sent = 0;
+  const size_t in_stride = (size_t)ninput;
+  const size_t ch_stride = (size_t)ninput * ninput;
+  for (int s0 = 0; s0 < nstand; s0++) {
+    for (int s1 = s0; s1 < nstand; s1++) {
+      h->stand_i = __builtin_bswap16((uint16_t)(s0 + 1));
+      h->stand_j = __builtin_bswap16((uint16_t)(s1 + 1));
+      int32_t *dst = payload;
+      /* chan-major payload [nchan, p0, p1, 2] */
+      for (int c = 0; c < nchan; c++) {
+        const size_t cbase = (size_t)c * ch_stride;
+        for (int p0 = 0; p0 < npol; p0++) {
+          const size_t row = cbase + (size_t)(npol * s0 + p0) * in_stride +
+                             (size_t)npol * s1;
+          for (int p1 = 0; p1 < npol; p1++) {
+            *dst++ = (int32_t)bswap32((uint32_t)vis_re[row + p1]);
+            *dst++ = (int32_t)bswap32((uint32_t)vis_im[row + p1]);
+          }
+        }
+      }
+      if (!out.emit(pkt.data(), pkt_size)) return sent;
+      sent++;
+    }
+  }
+  return sent;
+}
 
 extern "C" int64_t cbd_cor_send_matrix(
     const char *dest_ip, int port,
@@ -61,25 +195,8 @@ extern "C" int64_t cbd_cor_send_matrix(
   const size_t payload_words = (size_t)npol * npol * nchan * 2;
   const size_t pkt_size = sizeof(CorHdr) + payload_words * 4;
 
-  int fd = -1;
-  FILE *fh = nullptr;
-  if (dump_path && *dump_path) {
-    fh = fopen(dump_path, "ab");
-    if (!fh) return -1;
-  } else {
-    fd = socket(AF_INET, SOCK_DGRAM, 0);
-    if (fd < 0) return -1;
-    int sndbuf = 32 * 1024 * 1024;
-    setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
-    sockaddr_in addr{};
-    addr.sin_family = AF_INET;
-    addr.sin_port = htons((uint16_t)port);
-    addr.sin_addr.s_addr = inet_addr(dest_ip);
-    if (connect(fd, (sockaddr *)&addr, sizeof(addr)) != 0) {
-      close(fd);
-      return -1;
-    }
-  }
+  Emitter out;
+  if (!out.open(dest_ip, port, dump_path, max_mbps)) return -1;
 
   std::vector<uint8_t> pkt(pkt_size);
   auto *h = reinterpret_cast<CorHdr *>(pkt.data());
@@ -94,9 +211,6 @@ extern "C" int64_t cbd_cor_send_matrix(
   auto *payload = reinterpret_cast<int32_t *>(pkt.data() + sizeof(CorHdr));
 
   int64_t sent = 0;
-  long long bits = 0;
-  timespec t0;
-  clock_gettime(CLOCK_MONOTONIC, &t0);
   const size_t in_stride = (size_t)ninput;      // row stride in words
   const size_t ch_stride = (size_t)ninput * ninput;
 
@@ -116,36 +230,9 @@ extern "C" int64_t cbd_cor_send_matrix(
           }
         }
       }
-      if (fh) {
-        if (fwrite(pkt.data(), 1, pkt_size, fh) != pkt_size) break;
-      } else if (send(fd, pkt.data(), pkt_size, 0) < 0) {
-        timespec b = {0, 50 * 1000};
-        nanosleep(&b, nullptr);
-        if (send(fd, pkt.data(), pkt_size, 0) < 0) continue;
-      }
+      if (!out.emit(pkt.data(), pkt_size)) return sent;
       sent++;
-      if (max_mbps > 0) {
-        bits += 8 * (long long)pkt_size;
-        if (bits >= 8'000'000) {  // throttle every ~1 MB (reference
-                                   // cadence, corr_output_full:462-473)
-          timespec now;
-          clock_gettime(CLOCK_MONOTONIC, &now);
-          double elapsed = (now.tv_sec - t0.tv_sec) +
-                           (now.tv_nsec - t0.tv_nsec) * 1e-9;
-          double min_time = bits / (max_mbps * 1e6);
-          if (min_time > elapsed) {
-            double delay = min_time - elapsed;
-            timespec d = {(time_t)delay,
-                          (long)((delay - (time_t)delay) * 1e9)};
-            nanosleep(&d, nullptr);
-          }
-          clock_gettime(CLOCK_MONOTONIC, &t0);
-          bits = 0;
-        }
-      }
     }
   }
-  if (fh) fclose(fh);
-  if (fd >= 0) close(fd);
   return sent;
 }

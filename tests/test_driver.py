@@ -124,3 +124,35 @@ def test_pipeline_stop_via_acc_len_zero():
     pipe.run(10, timeout_s=180)
     assert pipe.ndump_fast == 0
     assert pipe.corr_cmd.stats["state"] in ("stopped", "waiting")
+
+
+def test_pipeline_cor_fmt_output_matches_custom(goldenfiles):
+    """Running two full-corr sinks — custom format and production COR
+    (Mark5C) format — the scattered COR cube must equal the matrix
+    reconstructed from the custom packets."""
+    inp, corrfile, ntime = goldenfiles
+    src = source.DummySource(CFG, mode="testfile", testfile=inp)
+    custom_pkts, cor_pkts = [], []
+    out_custom = sink.CorrFullOutput(CFG, send=custom_pkts.append)
+    out_cor = sink.CorrFullOutput(CFG, send=cor_pkts.append,
+                                  use_cor_fmt=True)
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[out_custom, out_cor])
+    pipe.run(ntime // CFG.ntime_gulp, timeout_s=180)
+    nbl = CFG.nstand * (CFG.nstand + 1) // 2
+    nslow = ntime // CFG.acc_len_slow
+    assert len(cor_pkts) == len(custom_pkts) == nslow * nbl
+    # one integration's worth of packets each
+    cube = pk.cor_scatter_matrix(cor_pkts[:nbl], CFG.nstand, CFG.npol)
+    want = np.zeros_like(cube)
+    for p in custom_pkts[:nbl]:
+        hdr, data = pk.decode_corr_full(p)
+        s0, s1 = hdr.stand0, hdr.stand1
+        # custom payload is [p0, p1, chan, 2]
+        want[s0, s1, :, :, :, :] = data.transpose(0, 1, 2, 3)
+        want[s1, s0, :, :, :, 0] = data.transpose(1, 0, 2, 3)[..., 0]
+        want[s1, s0, :, :, :, 1] = -data.transpose(1, 0, 2, 3)[..., 1]
+    np.testing.assert_array_equal(cube, want)
+    # COR header sanity: ADC-sample time units
+    hdr5c, _ = pk.decode_cor(cor_pkts[0])
+    sps = int(round(CFG.fs_hz / CFG.chan_bw_hz))
+    assert hdr5c.cor_navg == CFG.acc_len_slow * sps

@@ -170,3 +170,43 @@ def test_throughput_localhost():
     gbps = 8 * moved / dt / 1e9
     assert ngot >= ngulp // 2  # allow some kernel-buffer loss
     assert gbps > 0.5
+
+
+def test_native_cor5c_packetizer_matches_python(tmp_path):
+    """C++ Mark5C COR packetizer output must be byte-identical to the
+    Python encoder's packets for the same matrix (DiskWriter mode)."""
+    import jax.numpy as jnp
+
+    from caltech_bifrost_dsp_tpu.io import packets as pkmod
+    from caltech_bifrost_dsp_tpu.io import sink
+    from caltech_bifrost_dsp_tpu.ops import correlate
+    from caltech_bifrost_dsp_tpu.verification import golden
+
+    cfg = CFG
+    block = next(golden.generate_input_blocks(
+        cfg.ntime_gulp, cfg.nchan, cfg.nstand, cfg.npol, cfg.ntime_gulp))
+    vis = correlate.correlate_gulp(jnp.asarray(
+        block.reshape(cfg.ntime_gulp, cfg.nchan, cfg.ninput)))
+    py_pkts = []
+    out = sink.CorrFullOutput(cfg, send=py_pkts.append, use_cor_fmt=True)
+    dense = correlate.vis_to_numpy_complex(vis)
+    out.send_matrix(dense, sync_time=7, spectra_id=480,
+                    acc_len=cfg.ntime_gulp)
+    path = str(tmp_path / "cor5c.bin")
+    sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
+    n = native.cor5c_send_matrix(
+        np.asarray(vis.real), np.asarray(vis.imag), cfg.nstand, cfg.npol,
+        frame_number=pkmod.cor_frame_number(1, cfg.npipeline,
+                                            cfg.pipeline_id + 1),
+        secs_count=int(7 + 480 / cfg.spectra_rate_hz) & 0xFFFFFFFF,
+        freq_count=cfg.chan0 & 0xFFFF, time_tag=480 * sps,
+        navg=cfg.ntime_gulp * sps, dump_path=path)
+    assert n == len(py_pkts)
+    raw = open(path, "rb").read()
+    pkt_size = len(py_pkts[0])
+    assert len(raw) == n * pkt_size
+    for k, want in enumerate(py_pkts):
+        got = raw[k * pkt_size:(k + 1) * pkt_size]
+        assert got == want, f"packet {k} differs"
+    hdr, _ = pkmod.decode_cor(raw[:pkt_size])
+    assert hdr.time_tag == 480 * sps
