@@ -268,6 +268,118 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
     return fn
 
 
+def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
+                        fast_first: bool, fast_last: bool,
+                        slow_first: bool):
+    """Stateful sharded FX step: the streaming-driver analog of
+    :func:`fx_sharded_fn` — PFB with on-mesh halo exchange, F->X
+    corner-turn, requant, then the accumulating X/B step of
+    :func:`xengine_sharded_state_fn`.
+
+    The only host-side carry is the previous block's trailing
+    ``(ntap-1)*2*nchan`` ADC samples (``carry_tail``), which time-shard 0
+    prepends in place of the zero halo so block boundaries are seamless —
+    exactly the single-device driver's ``_adc_tail`` carry.  Interior
+    shard boundaries exchange their halo with ``ppermute`` on the mesh.
+
+    Global shapes:
+      state planes: int32 [nchan, ninput, ninput] (chan-sharded)
+      adc:        f32 [T, ninput]            — sharded [time, chan(inputs)]
+      carry_tail: f32 [(ntap-1)*2*nchan, ninput] — input-sharded on 'chan'
+      window:     f32 [ntap, 2*nchan]        — replicated
+      gains:      BeamGains [nchan, nbeam, ninput] — chan-sharded
+      pairs:      int32 [nvis_out, 2]        — replicated
+      quant_scale: f32 scalar                — replicated
+    """
+    n_time = mesh.shape["time"]
+    n_chan_shards = mesh.shape["chan"]
+    if cfg.ninput % n_chan_shards or cfg.nchan % n_chan_shards:
+        raise ValueError("ninput and nchan must divide the chan axis")
+    if (cfg.nchan // n_chan_shards) % cfg.nchan_sum:
+        raise ValueError("per-shard channel count must be a multiple of "
+                         "nchan_sum")
+    L = 2 * cfg.nchan
+    halo_n = (cfg.pfb_ntap - 1) * L
+
+    def corner_turn(x):
+        if n_chan_shards > 1:
+            return jax.lax.all_to_all(x, "chan", split_axis=1,
+                                      concat_axis=2, tiled=True)
+        return x
+
+    def shard_fn(fr, fi, sr, si, adc_local, carry_local, window,
+                 gains_r, gains_i, pairs, quant_scale):
+        # halo: interior shards take the left neighbor's tail; time-shard
+        # 0 takes the host carry from the previous block
+        if halo_n and n_time > 1:
+            tail = adc_local[-halo_n:]
+            perm = [(i, (i + 1) % n_time) for i in range(n_time)]
+            halo = jax.lax.ppermute(tail, "time", perm)
+            is_first = jax.lax.axis_index("time") == 0
+            halo = jnp.where(is_first, carry_local, halo)
+            adc_ext = jnp.concatenate([halo, adc_local], axis=0)
+        else:
+            adc_ext = jnp.concatenate([carry_local, adc_local], axis=0)
+        if cfg.pfb_fft_impl == "matmul":
+            re, im = pfb_ops.pfb_channelize_planes(
+                adc_ext, window, cfg.nchan, cfg.pfb_ntap)
+            re, im = corner_turn(re), corner_turn(im)
+            packed = pfb_ops.quantize_4bit_planes(re, im, quant_scale)
+        else:
+            spec = pfb_ops.pfb_channelize(adc_ext, window, cfg.nchan,
+                                          cfg.pfb_ntap,
+                                          fft_impl=cfg.pfb_fft_impl)
+            spec = corner_turn(spec)
+            packed = pfb_ops.quantize_4bit(spec, quant_scale)
+        vis_part = corr.correlate_gulp(packed)
+        vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
+                       jax.lax.psum(vis_part.imag, "time"))
+        fast = vis_gulp if fast_first else Vis(fr + vis_gulp.real,
+                                               fi + vis_gulp.imag)
+        if fast_last:
+            slow = fast if slow_first else Vis(sr + fast.real,
+                                               si + fast.imag)
+        else:
+            slow = Vis(sr, si)
+        subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
+        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+        power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
+        if n_chan_shards > 1:
+            vlbi = jax.lax.all_gather(vlbi_local, "chan", axis=1,
+                                      tiled=True)
+        else:
+            vlbi = vlbi_local
+        return (fast.real, fast.imag, slow.real, slow.imag,
+                subsel.real, subsel.imag, power, vlbi)
+
+    vis_spec = P("chan", None, None)
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
+                  P("time", "chan"),       # adc
+                  P(None, "chan"),         # carry tail (input-sharded)
+                  P(),                     # window
+                  P("chan", None, None), P("chan", None, None),
+                  P(), P()),
+        out_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
+                   P("chan", None), P("chan", None),
+                   P(None, "time", "chan", None),
+                   P("time", None, None, None)),
+        check_vma=False)
+
+    def fn(state, adc, carry_tail, window, quant_scale,
+           gains: bf.BeamGains, pairs):
+        fr, fi, sr, si, subr, subi, power, vlbi = mapped(
+            state[0].real, state[0].imag, state[1].real, state[1].imag,
+            adc, carry_tail, window, gains.real, gains.imag, pairs,
+            quant_scale)
+        return ((Vis(fr, fi), Vis(sr, si)),
+                FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
+
+    return fn
+
+
 def make_stand_mesh(n_stand: int, devices=None) -> Mesh:
     """1-D ('stand',) mesh for the antenna-sharded correlator."""
     devices = list(devices if devices is not None else jax.devices())

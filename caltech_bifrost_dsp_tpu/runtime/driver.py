@@ -367,9 +367,6 @@ class XEnginePipeline:
         # are built lazily per boundary combination.
         self.mesh = mesh
         self._mesh_steps: dict = {}
-        if mesh is not None and fx_mode:
-            raise ValueError("mesh execution currently supports the "
-                             "post-F packed path")
         self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
         self.perf_compute = PerfTimer(self.corr_cmd.perf_proclog)
@@ -425,11 +422,28 @@ class XEnginePipeline:
             from ..parallel import mesh as pmesh
 
             key = (bool(is_first), bool(is_dump), bool(slow_first))
+            st = (self.state.vis_fast, self.state.vis_slow)
+            if self.fx_mode:
+                # sharded FX: on-mesh ppermute halo between time shards;
+                # the host carries only the block-boundary ADC tail
+                if key not in self._mesh_steps:
+                    self._mesh_steps[key] = _jax.jit(
+                        pmesh.fx_sharded_state_fn(cfg, self.mesh, *key))
+                adc = block.reshape(-1, cfg.ninput)
+                tail_prev = self._adc_tail
+                self._adc_tail = adc[-tail_prev.shape[0]:].copy()
+                with _jax.set_mesh(self.mesh):
+                    st, out, vlbi = self._mesh_steps[key](
+                        st, jnp.asarray(adc), jnp.asarray(tail_prev),
+                        self._window, jnp.float32(self.quant_scale),
+                        gains_dev, self.subsel_cmd.pairs_device)
+                    self.state = xengine.XEngineState(st[0], st[1])
+                return xengine.XEngineOutputs(out.subsel, out.bf_power,
+                                              vlbi)
             if key not in self._mesh_steps:
                 self._mesh_steps[key] = _jax.jit(
                     pmesh.xengine_sharded_state_fn(cfg, self.mesh, *key))
             with _jax.set_mesh(self.mesh):
-                st = (self.state.vis_fast, self.state.vis_slow)
                 st, out, vlbi = self._mesh_steps[key](
                     st, jnp.asarray(block), gains_dev,
                     self.subsel_cmd.pairs_device)
