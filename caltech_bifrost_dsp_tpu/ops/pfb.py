@@ -67,6 +67,83 @@ def rdft_matrices(nchan: int) -> tuple[np.ndarray, np.ndarray]:
             -np.sin(ang).astype(np.float32))
 
 
+def _dft_factors(L: int) -> tuple[int, int] | None:
+    """Pick (L1, L2) with L = L1*L2 for the two-stage factored DFT,
+    preferring factors near sqrt(L) (both matmul contraction dims stay
+    MXU-sized).  Returns None when L is too small or has no useful
+    factorization (direct O(L^2) is then cheaper than the bookkeeping)."""
+    if L < 256:
+        return None
+    best = None
+    f = int(np.sqrt(L))
+    for d in range(f, 1, -1):
+        if L % d == 0:
+            best = (L // d, d)   # L1 (outer) >= L2 (inner)
+            break
+    if best is None or best[1] < 8:
+        return None
+    return best
+
+
+@functools.lru_cache(maxsize=8)
+def _rdft_factored_tables(nchan: int):
+    """Constant tables for the factored real-input DFT (f32):
+    inner-DFT [L2, L2] cos/-sin, twiddle [L1, L2] cos/-sin, outer-DFT
+    [L1, L1//2] cos/sin.  Derivation: n = n1 + L1*n2, k = k2 + L2*k1 ->
+    X[k] = sum_n1 W_L1^{n1 k1} (W_L^{n1 k2} sum_n2 x[n1+L1 n2]
+    W_L2^{n2 k2}); only k < nchan = L/2 is needed so k1 < L1/2."""
+    L = 2 * nchan
+    L1, L2 = _dft_factors(L)
+    n2 = np.arange(L2)[:, None]
+    k2 = np.arange(L2)[None, :]
+    ang2 = 2 * np.pi * n2 * k2 / L2
+    c2, s2 = np.cos(ang2), -np.sin(ang2)
+    n1 = np.arange(L1)[:, None]
+    angt = 2 * np.pi * n1 * k2 / L           # twiddle W_L^{n1 k2}
+    twr, twi = np.cos(angt), -np.sin(angt)
+    k1 = np.arange(L1 // 2)[None, :]
+    ang1 = 2 * np.pi * n1 * k1 / L1
+    c1, s1 = np.cos(ang1), np.sin(ang1)
+    return tuple(jnp.asarray(m.astype(np.float32))
+                 for m in (c2, s2, twr, twi, c1, s1)), (L1, L2)
+
+
+def _rdft_apply(fir2: jax.Array, nchan: int) -> tuple[jax.Array,
+                                                      jax.Array]:
+    """Real-input DFT of the last axis (length 2*nchan) -> (re, im)
+    planes with nchan bins, as MXU matmuls.
+
+    Uses the O(L*(L1+L2)) two-stage Cooley-Tukey factorization when L
+    factors usefully (essential at F-engine scale: direct O(L^2) at
+    L=8192 is ~21x more MXU work), falling back to the direct [L, nchan]
+    matmul pair for small L.
+    """
+    L = 2 * nchan
+    hp = jax.lax.Precision.HIGH
+    if _dft_factors(L) is None:
+        cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
+        return (jnp.matmul(fir2, cos_m, precision=hp),
+                jnp.matmul(fir2, msin_m, precision=hp))
+    (c2, s2, twr, twi, c1, s1), (L1, L2) = _rdft_factored_tables(nchan)
+    lead = fir2.shape[:-1]
+    x = fir2.reshape(lead + (L2, L1))        # [.., n2, n1]
+    y = jnp.swapaxes(x, -1, -2)              # [.., n1, n2]
+    sr = jnp.matmul(y, c2, precision=hp)     # [.., n1, k2]
+    si = jnp.matmul(y, s2, precision=hp)
+    tr = sr * twr - si * twi                 # twiddle (fused elementwise)
+    ti = sr * twi + si * twr
+    tr = jnp.swapaxes(tr, -1, -2)            # [.., k2, n1]
+    ti = jnp.swapaxes(ti, -1, -2)
+    xr = (jnp.matmul(tr, c1, precision=hp)
+          + jnp.matmul(ti, s1, precision=hp))   # [.., k2, k1]
+    xi = (jnp.matmul(ti, c1, precision=hp)
+          - jnp.matmul(tr, s1, precision=hp))
+    # k = k1*L2 + k2 -> put k1 outer and flatten
+    xr = jnp.swapaxes(xr, -1, -2).reshape(lead + (nchan,))
+    xi = jnp.swapaxes(xi, -1, -2).reshape(lead + (nchan,))
+    return xr, xi
+
+
 @functools.partial(jax.jit, static_argnames=("nchan", "ntap", "fft_impl"))
 def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
                    ntap: int, fft_impl: str = "fft") -> jax.Array:
@@ -100,15 +177,11 @@ def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
     fir = sum(frames[k:k + nspec] * window[k].reshape(wshape)
               for k in range(ntap))           # [nspec, L, ...]
     if fft_impl == "matmul":
-        # Real DFT as two MXU matmuls — avoids the FFT lowering (the
-        # axon AOT compile helper rejects it) and vectorizes over all
-        # trailing axes at once.
-        cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
+        # Real DFT as MXU matmuls — avoids the FFT lowering (the axon
+        # AOT compile helper rejects it) and vectorizes over all
+        # trailing axes at once; factored O(L*(L1+L2)) at F-engine scale.
         fir2 = jnp.moveaxis(fir, 1, -1)       # [nspec, ..., L]
-        re = jnp.matmul(fir2, cos_m,
-                        precision=jax.lax.Precision.HIGH)
-        im = jnp.matmul(fir2, msin_m,
-                        precision=jax.lax.Precision.HIGH)
+        re, im = _rdft_apply(fir2, nchan)
         spec = jnp.moveaxis(re + 1j * im, -1, 1)
         return spec.astype(jnp.complex64)
     spec = jnp.fft.rfft(fir, axis=1)          # [nspec, nchan+1, ...]
@@ -143,12 +216,9 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
     wshape = (1, L) + (1,) * len(tail)
     fir = sum(frames[k:k + nspec] * window[k].reshape(wshape)
               for k in range(ntap))           # [nspec, L, ...]
-    cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
     fir2 = jnp.moveaxis(fir, 1, -1)           # [nspec, ..., L]
-    hp = jax.lax.Precision.HIGH
-    re = jnp.moveaxis(jnp.matmul(fir2, cos_m, precision=hp), -1, 1)
-    im = jnp.moveaxis(jnp.matmul(fir2, msin_m, precision=hp), -1, 1)
-    return re, im
+    re, im = _rdft_apply(fir2, nchan)
+    return jnp.moveaxis(re, -1, 1), jnp.moveaxis(im, -1, 1)
 
 
 def _broadcast_scale(scale, ndim: int):

@@ -24,6 +24,68 @@ except Exception:
     pass
 
 
+def bench_fengine(args) -> int:
+    """F-engine-scale channelization: 4096-channel critically-sampled
+    PFB + 4-bit requant across all 704 array inputs.  The real-time bar
+    per input is fs = 196 MHz of ADC samples (the FPGA F-engine's job,
+    SURVEY.md section 0)."""
+    from ..config import LWA352
+    from ..ops import pfb as pfb_ops
+    from ..utils.codec import unpack_np
+
+    nchan, ntap, ninput = args.nchan, LWA352.pfb_ntap, LWA352.ninput
+    nspec = args.nspec
+    L = 2 * nchan
+    rng = np.random.RandomState(0)
+    nadc = (nspec + ntap - 1) * L
+    adc = jnp.asarray((rng.standard_normal([nadc, ninput]) * 3)
+                      .astype(np.float32))
+    window = jnp.asarray(pfb_ops.pfb_window(nchan, ntap))
+
+    if args.fft_impl == "matmul":
+        @jax.jit
+        def step(adc, window):
+            re, im = pfb_ops.pfb_channelize_planes(adc, window, nchan,
+                                                   ntap)
+            return pfb_ops.quantize_4bit_planes(re, im, 0.5)
+    else:
+        @jax.jit
+        def step(adc, window):
+            spec = pfb_ops.pfb_channelize(adc, window, nchan, ntap,
+                                          fft_impl=args.fft_impl)
+            return pfb_ops.quantize_4bit(spec, 0.5)
+
+    probe = jax.jit(lambda p: jnp.sum(p.astype(jnp.int32)[0, :8, 0]))
+
+    def fetch(p):
+        return int(np.asarray(jax.device_get(probe(p))))
+
+    out = step(adc, window)
+    fetch(out)
+    t0 = time.perf_counter()
+    fetch(step(adc, window))
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.niter):
+        out = step(adc, window)
+    fetch(out)
+    per_call = max((time.perf_counter() - t0 - overhead)
+                   / (args.niter - 1), 1e-9)
+
+    adc_samples = nspec * L  # per input
+    msps_per_input = adc_samples / per_call / 1e6
+    realtime_msps = LWA352.fs_hz / 1e6  # full-rate F-engine bar
+    print(json.dumps({
+        "metric": "fengine_pfb_adc_rate_per_input",
+        "value": round(msps_per_input, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps_per_input / realtime_msps, 3),
+        "nchan": nchan, "ntap": ntap, "ninput": ninput,
+        "aggregate_gsps": round(msps_per_input * ninput / 1e3, 2),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="FX single-chip benchmark")
     p.add_argument("--nspec", type=int, default=2400,
@@ -33,7 +95,16 @@ def main(argv=None) -> int:
                    choices=["fft", "matmul"],
                    help="matmul by default: the axon AOT helper rejects "
                         "the FFT lowering")
+    p.add_argument("--fengine", action="store_true",
+                   help="benchmark the F-engine operating point instead: "
+                        "4096-channel PFB + 4-bit requant over all 704 "
+                        "inputs (channelization only; the north-star "
+                        "contract boundary, SURVEY.md section 0)")
+    p.add_argument("--nchan", type=int, default=4096,
+                   help="F-engine channel count (with --fengine)")
     args = p.parse_args(argv)
+    if args.fengine:
+        return bench_fengine(args)
 
     from ..config import LWA352
     from ..models import xengine

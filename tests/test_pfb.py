@@ -121,3 +121,38 @@ def test_quantize_saturates():
     re, im = codec.unpack_np(packed)
     np.testing.assert_array_equal(re[0], [7, -8])
     np.testing.assert_array_equal(im[0], [7, -8])
+
+
+def test_factored_rdft_matches_fft_fengine_scale(rng):
+    """The two-stage Cooley-Tukey matmul DFT must match numpy's rfft at
+    the F-engine operating point (nchan=4096, L=8192) and at the
+    per-pipeline point (nchan=192, L=384)."""
+    import jax.numpy as jnp
+
+    for nchan in (192, 4096):
+        L = 2 * nchan
+        assert pfb._dft_factors(L) is not None
+        x = rng.standard_normal([3, L]).astype(np.float32)
+        re, im = pfb._rdft_apply(jnp.asarray(x), nchan)
+        want = np.fft.rfft(x, axis=1)[:, :nchan]
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(np.asarray(re), want.real,
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(np.asarray(im), want.imag,
+                                   atol=2e-5 * scale)
+
+
+def test_pfb_matmul_fengine_scale_matches_reference(rng):
+    """Full critically-sampled PFB at 4096 channels (matmul path) vs the
+    numpy reference."""
+    nchan, ntap, nspec, ninput = 4096, 4, 2, 2
+    L = 2 * nchan
+    x = rng.standard_normal([(nspec + ntap - 1) * L, ninput]) \
+        .astype(np.float32)
+    w = pfb.pfb_window(nchan, ntap)
+    got = np.asarray(pfb.pfb_channelize(x, w, nchan, ntap,
+                                        fft_impl="matmul"))
+    want = pfb.pfb_reference_np(x, w, nchan, ntap)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got.real, want.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(got.imag, want.imag, atol=3e-5 * scale)
