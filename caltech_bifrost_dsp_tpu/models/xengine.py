@@ -47,8 +47,11 @@ class XEngineState(NamedTuple):
 class XEngineOutputs(NamedTuple):
     subsel: Vis          # int32 [nchan//nchan_sum, nvis_out] (valid on
                          # fast-dump gulps)
-    bf_power: jax.Array  # f32 [nbeam//2, ntime_gulp//ntime_sum, nchan, 4]
-    vlbi: jax.Array      # f32 [ntime_gulp, nchan, 2, 2] beam-0 voltages
+    bf_power: jax.Array | None  # f32 [nbeam//2, ntime_gulp//ntime_sum,
+                         # nchan, 4]; None when no PBEAM sink is
+                         # configured (the step never computes it)
+    vlbi: jax.Array | None      # f32 [ntime_gulp, nchan, 2, 2] beam-0
+                         # voltages; None when no IBEAM sink exists
 
 
 def init_state(cfg: XEngineConfig) -> XEngineState:
@@ -63,7 +66,10 @@ def xengine_step(state: XEngineState,
                  fast_first: jax.Array,
                  fast_last: jax.Array,
                  slow_first: jax.Array,
-                 cfg: XEngineConfig) -> tuple[XEngineState, XEngineOutputs]:
+                 cfg: XEngineConfig,
+                 want_power: bool = True,
+                 want_vlbi: bool = True
+                 ) -> tuple[XEngineState, XEngineOutputs]:
     """Process one gulp.
 
     Args:
@@ -81,6 +87,12 @@ def xengine_step(state: XEngineState,
         accumulation (CorrAcc ``BFMap("a = b")`` vs ``"a += b"``,
         corr_acc_block.py:303-306).
       cfg: static configuration.
+      want_power / want_vlbi: static flags — when False the beam product
+        is not computed at all (the corresponding sink is unconfigured;
+        saves both the beamform matmul work and the per-gulp D2H
+        transfer).  When both are False the beamformer is skipped
+        entirely, mirroring a reference pipeline built without the
+        Beamform threads.
     """
     if cfg.corr_engine == "pallas_triu":
         from ..ops.pallas.corr_triu import packed_corr_triu
@@ -106,24 +118,30 @@ def xengine_step(state: XEngineState,
 
     subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
 
-    beams = bf.beamform_gulp(packed, gains)
-    power = bf.beam_power_sum(beams, cfg.ntime_sum)
-    vlbi = bf.vlbi_voltage_select(beams, nbeam_out=2)
+    power = vlbi = None
+    if want_power or want_vlbi:
+        beams = bf.beamform_gulp(packed, gains)
+        if want_power:
+            power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        if want_vlbi:
+            vlbi = bf.vlbi_voltage_select(beams, nbeam_out=2)
 
     return (XEngineState(fast, slow),
             XEngineOutputs(subsel, power, vlbi))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fast_first",
-                                             "fast_last", "slow_first"))
+                                             "fast_last", "slow_first",
+                                             "want_power", "want_vlbi"))
 def xengine_step_jit(state, packed, gains, subsel_pairs, fast_first: bool,
                      fast_last: bool, slow_first: bool,
-                     cfg: XEngineConfig):
+                     cfg: XEngineConfig, want_power: bool = True,
+                     want_vlbi: bool = True):
     """Boundary flags are *static* here (at most 8 specializations);
     XLA folds the accumulator selects to the taken branch."""
     return xengine_step(state, packed, gains, subsel_pairs,
                         bool(fast_first), bool(fast_last),
-                        bool(slow_first), cfg)
+                        bool(slow_first), cfg, want_power, want_vlbi)
 
 
 def fx_step(state: XEngineState,
@@ -133,7 +151,9 @@ def fx_step(state: XEngineState,
             gains: bf.BeamGains,
             subsel_pairs: jax.Array,
             fast_first, fast_last, slow_first,
-            cfg: XEngineConfig) -> tuple[XEngineState, XEngineOutputs]:
+            cfg: XEngineConfig, want_power: bool = True,
+            want_vlbi: bool = True
+            ) -> tuple[XEngineState, XEngineOutputs]:
     """FX variant: raw ADC samples -> PFB -> 4-bit requant -> X/B step.
 
     Args:
@@ -154,14 +174,18 @@ def fx_step(state: XEngineState,
                                       fft_impl=cfg.pfb_fft_impl)
         packed = pfb_ops.quantize_4bit(spec, quant_scale)
     return xengine_step(state, packed, gains, subsel_pairs, fast_first,
-                        fast_last, slow_first, cfg)
+                        fast_last, slow_first, cfg, want_power,
+                        want_vlbi)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "want_power",
+                                             "want_vlbi"))
 def fx_step_jit(state, adc, window, quant_scale, gains, subsel_pairs,
-                fast_first, fast_last, slow_first, cfg: XEngineConfig):
+                fast_first, fast_last, slow_first, cfg: XEngineConfig,
+                want_power: bool = True, want_vlbi: bool = True):
     return fx_step(state, adc, window, quant_scale, gains, subsel_pairs,
-                   fast_first, fast_last, slow_first, cfg)
+                   fast_first, fast_last, slow_first, cfg, want_power,
+                   want_vlbi)
 
 
 def dense_vis(vis, cfg: XEngineConfig):

@@ -205,7 +205,8 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
 
 def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                              fast_first: bool, fast_last: bool,
-                             slow_first: bool):
+                             slow_first: bool, want_power: bool = True,
+                             want_vlbi: bool = True):
     """Stateful sharded fused step: the multi-chip analog of
     ``models.xengine.xengine_step``.
 
@@ -233,35 +234,46 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         else:
             slow = Vis(sr, si)
         subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
-        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
-        power = bf.beam_power_sum(beams, cfg.ntime_sum)
-        # VLBI beam-0 voltages need every channel: gather the small
-        # [t_local, c_local, 2, 2] slab over the 'chan' axis
-        vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
-        if n_chan_shards > 1:
-            vlbi = jax.lax.all_gather(vlbi_local, "chan", axis=1,
-                                      tiled=True)
-        else:
-            vlbi = vlbi_local
-        return (fast.real, fast.imag, slow.real, slow.imag,
-                subsel.real, subsel.imag, power, vlbi)
+        out = [fast.real, fast.imag, slow.real, slow.imag,
+               subsel.real, subsel.imag]
+        if want_power or want_vlbi:
+            beams = bf.beamform_gulp(packed,
+                                     bf.BeamGains(gains_r, gains_i))
+            if want_power:
+                out.append(bf.beam_power_sum(beams, cfg.ntime_sum))
+            if want_vlbi:
+                # VLBI beam-0 voltages need every channel: gather the
+                # small [t_local, c_local, 2, 2] slab over 'chan'
+                vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
+                if n_chan_shards > 1:
+                    vlbi_local = jax.lax.all_gather(vlbi_local, "chan",
+                                                    axis=1, tiled=True)
+                out.append(vlbi_local)
+        return tuple(out)
 
     vis_spec = P("chan", None, None)
+    out_specs = [vis_spec, vis_spec, vis_spec, vis_spec,
+                 P("chan", None), P("chan", None)]
+    if want_power:
+        out_specs.append(P(None, "time", "chan", None))
+    if want_vlbi:
+        out_specs.append(P("time", None, None, None))
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
                   P("time", "chan", None),
                   P("chan", None, None), P("chan", None, None), P()),
-        out_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
-                   P("chan", None), P("chan", None),
-                   P(None, "time", "chan", None),
-                   P("time", None, None, None)),
+        out_specs=tuple(out_specs),
         check_vma=False)
 
     def fn(state, packed, gains: bf.BeamGains, pairs):
-        fr, fi, sr, si, subr, subi, power, vlbi = mapped(
+        res = list(mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
-            packed, gains.real, gains.imag, pairs)
+            packed, gains.real, gains.imag, pairs))
+        fr, fi, sr, si, subr, subi = res[:6]
+        rest = res[6:]
+        power = rest.pop(0) if want_power else None
+        vlbi = rest.pop(0) if want_vlbi else None
         return ((Vis(fr, fi), Vis(sr, si)),
                 FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
 
@@ -270,7 +282,8 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
 
 def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                         fast_first: bool, fast_last: bool,
-                        slow_first: bool):
+                        slow_first: bool, want_power: bool = True,
+                        want_vlbi: bool = True):
     """Stateful sharded FX step: the streaming-driver analog of
     :func:`fx_sharded_fn` — PFB with on-mesh halo exchange, F->X
     corner-turn, requant, then the accumulating X/B step of
@@ -342,18 +355,28 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         else:
             slow = Vis(sr, si)
         subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
-        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
-        power = bf.beam_power_sum(beams, cfg.ntime_sum)
-        vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
-        if n_chan_shards > 1:
-            vlbi = jax.lax.all_gather(vlbi_local, "chan", axis=1,
-                                      tiled=True)
-        else:
-            vlbi = vlbi_local
-        return (fast.real, fast.imag, slow.real, slow.imag,
-                subsel.real, subsel.imag, power, vlbi)
+        out = [fast.real, fast.imag, slow.real, slow.imag,
+               subsel.real, subsel.imag]
+        if want_power or want_vlbi:
+            beams = bf.beamform_gulp(packed,
+                                     bf.BeamGains(gains_r, gains_i))
+            if want_power:
+                out.append(bf.beam_power_sum(beams, cfg.ntime_sum))
+            if want_vlbi:
+                vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
+                if n_chan_shards > 1:
+                    vlbi_local = jax.lax.all_gather(vlbi_local, "chan",
+                                                    axis=1, tiled=True)
+                out.append(vlbi_local)
+        return tuple(out)
 
     vis_spec = P("chan", None, None)
+    out_specs = [vis_spec, vis_spec, vis_spec, vis_spec,
+                 P("chan", None), P("chan", None)]
+    if want_power:
+        out_specs.append(P(None, "time", "chan", None))
+    if want_vlbi:
+        out_specs.append(P("time", None, None, None))
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
@@ -362,18 +385,19 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                   P(),                     # window
                   P("chan", None, None), P("chan", None, None),
                   P(), P()),
-        out_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
-                   P("chan", None), P("chan", None),
-                   P(None, "time", "chan", None),
-                   P("time", None, None, None)),
+        out_specs=tuple(out_specs),
         check_vma=False)
 
     def fn(state, adc, carry_tail, window, quant_scale,
            gains: bf.BeamGains, pairs):
-        fr, fi, sr, si, subr, subi, power, vlbi = mapped(
+        res = list(mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             adc, carry_tail, window, gains.real, gains.imag, pairs,
-            quant_scale)
+            quant_scale))
+        fr, fi, sr, si, subr, subi = res[:6]
+        rest = res[6:]
+        power = rest.pop(0) if want_power else None
+        vlbi = rest.pop(0) if want_vlbi else None
         return ((Vis(fr, fi), Vis(sr, si)),
                 FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
 
