@@ -99,22 +99,32 @@ class NativeCapture:
             nbuf)
         if not self._h:
             raise OSError(f"failed to bind capture on {bind_ip}:{port}")
-        self._buf = np.zeros(cfg.gulp_nbyte, np.uint8)
+        # rotating destination buffers: get_gulp returns a VIEW valid
+        # until the same slot comes around again (the consumer copies it
+        # into the staging ring / device anyway; an extra 65 MB
+        # host-side copy per gulp is ~20% of the real-time budget)
+        self._bufs = [np.zeros(cfg.gulp_nbyte, np.uint8)
+                      for _ in range(4)]
+        self._buf_i = 0
 
     def start(self):
         if self._lib.cbd_capture_start(self._h) != 0:
             raise RuntimeError("capture already started")
 
     def get_gulp(self, timeout_s: float = 5.0):
-        """Returns (seq0, gulp [ntime, nchan, ninput]) or (None, None)."""
+        """Returns (seq0, gulp [ntime, chan, input] view) or
+        (None, None).  The view stays valid for the next 3 get_gulp
+        calls; copy it if held longer."""
+        buf = self._bufs[self._buf_i]
         seq0 = self._lib.cbd_capture_get_gulp(
-            self._h, self._buf.ctypes.data_as(
+            self._h, buf.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8)), timeout_s)
         if seq0 < 0:
             return None, None
+        self._buf_i = (self._buf_i + 1) % len(self._bufs)
         cfg = self.cfg
-        return int(seq0), self._buf.reshape(
-            cfg.ntime_gulp, cfg.nchan, cfg.ninput).copy()
+        return int(seq0), buf.reshape(
+            cfg.ntime_gulp, cfg.nchan, cfg.ninput)
 
     def stats(self) -> dict:
         vals = [ctypes.c_uint64() for _ in range(4)]

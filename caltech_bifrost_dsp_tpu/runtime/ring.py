@@ -88,7 +88,13 @@ class Ring:
                     return False
             elif self._nbyte + nbyte > self.nbyte_budget:
                 return False
-            seq.spans.append(np.ascontiguousarray(data))
+            # own the span's memory: sources like the native capture
+            # engine hand out views of rotating buffers that will be
+            # overwritten a few gulps later
+            if data.flags.c_contiguous and data.flags.owndata:
+                seq.spans.append(data)
+            else:
+                seq.spans.append(np.array(data))
             seq.nbyte += nbyte
             self._nbyte += nbyte
             self._lock.notify_all()

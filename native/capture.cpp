@@ -29,10 +29,15 @@
 namespace {
 
 constexpr int kBatch = 64;          // recvmmsg batch
-constexpr int kMaxPkt = 9000;       // jumbo-frame ceiling
+constexpr int kMaxPkt = 65536;      // UDP max (loopback / GRO paths can
+                                    // exceed the 9k jumbo-frame size)
 
 struct Slot {
   std::vector<uint8_t> data;        // ntime_gulp * nchan * ninput
+  std::vector<uint64_t> filled;     // per-packet landing bitmap: slots
+                                    // are NOT pre-zeroed (a 65 MB memset
+                                    // per gulp); holes are zeroed at
+                                    // emit time from the bitmap instead
   int64_t gulp_id = -1;             // seq / ntime_gulp currently held
   uint32_t npkt = 0;                // packets landed in this slot
   bool ready = false;
@@ -59,6 +64,14 @@ struct CbdCapture {
 
   std::thread rx;
   std::atomic<bool> running{false};
+  std::vector<uint8_t> scratch;     // consumer-side swap buffer so the
+                                    // gulp copy happens outside `mu`
+  std::vector<uint64_t> scratch_filled;
+  // learned packet geometry (first packet wins); if a later packet
+  // disagrees, bitmap indexing is impossible and we fall back to
+  // pre-zeroing slots on claim
+  int pkt_nchan = 0, pkt_npol = 0;
+  bool mixed_geometry = false;
 
   Slot &slot_for(int64_t gulp_id) { return slots[gulp_id % nbuf]; }
 };
@@ -94,6 +107,15 @@ static void rx_loop(CbdCapture *c) {
         c->expected_pkts_per_gulp =
             (uint32_t)((c->nchan / h->nchan) * (c->ninput / h->npol) *
                        c->ntime_gulp);
+        c->pkt_nchan = h->nchan;
+        c->pkt_npol = h->npol;
+        size_t words = (c->expected_pkts_per_gulp + 63) / 64;
+        for (auto &sl : c->slots) sl.filled.assign(words, 0);
+        c->scratch_filled.assign(words, 0);
+      } else if (!c->mixed_geometry &&
+                 ((int)h->nchan != c->pkt_nchan ||
+                  (int)h->npol != c->pkt_npol)) {
+        c->mixed_geometry = true;  // revert to claim-time zeroing
       }
       int64_t seq = (int64_t)h->seq;
       // Sequence-break detection: a jump of more than a few gulps starts
@@ -130,7 +152,10 @@ static void rx_loop(CbdCapture *c) {
         s.gulp_id = gulp_id;
         s.npkt = 0;
         s.ready = false;
-        memset(s.data.data(), 0, s.data.size());
+        if (c->mixed_geometry)
+          memset(s.data.data(), 0, s.data.size());
+        else
+          std::fill(s.filled.begin(), s.filled.end(), 0);
       }
       int t = (int)(seq - gulp_id * c->ntime_gulp);
       size_t chan_off = (size_t)h->chan_block_id * h->nchan;
@@ -140,9 +165,20 @@ static void rx_loop(CbdCapture *c) {
       uint8_t *dst = s.data.data() +
                      ((size_t)t * c->nchan + chan_off) * c->ninput +
                      h->pol0;
-      for (int ch = 0; ch < h->nchan; ch++)
-        memcpy(dst + (size_t)ch * c->ninput, src + (size_t)ch * h->npol,
-               h->npol);
+      if ((int)h->npol == c->ninput) {
+        // whole-row packets: one contiguous copy
+        memcpy(dst, src, payload);
+      } else {
+        for (int ch = 0; ch < h->nchan; ch++)
+          memcpy(dst + (size_t)ch * c->ninput,
+                 src + (size_t)ch * h->npol, h->npol);
+      }
+      if (!c->mixed_geometry) {
+        size_t pidx = ((size_t)t * (c->nchan / c->pkt_nchan) +
+                       h->chan_block_id) * (c->ninput / c->pkt_npol) +
+                      h->pol0 / c->pkt_npol;
+        s.filled[pidx / 64] |= 1ull << (pidx % 64);
+      }
       s.npkt++;
       c->npkt.fetch_add(1, std::memory_order_relaxed);
       c->ngood_bytes.fetch_add(payload, std::memory_order_relaxed);
@@ -167,11 +203,16 @@ CbdCapture *cbd_capture_create(const char *bind_ip, int port, int nchan,
   c->gulp_nbyte = (size_t)ntime_gulp * nchan * ninput;
   c->slots.resize(c->nbuf);
   for (auto &s : c->slots) s.data.assign(c->gulp_nbyte, 0);
+  c->scratch.assign(c->gulp_nbyte, 0);
 
   c->fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (c->fd < 0) { delete c; return nullptr; }
-  int rcvbuf = 64 * 1024 * 1024;
-  setsockopt(c->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  int rcvbuf = 256 * 1024 * 1024;
+  // FORCE variant (root) ignores rmem_max — the deep kernel buffer is
+  // the burst absorber the reference gets from IB verbs queue depth
+  if (setsockopt(c->fd, SOL_SOCKET, SO_RCVBUFFORCE, &rcvbuf,
+                 sizeof(rcvbuf)) != 0)
+    setsockopt(c->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
   timeval rcvto = {0, 100 * 1000};  // 100 ms: lets the RX loop observe stop
   setsockopt(c->fd, SOL_SOCKET, SO_RCVTIMEO, &rcvto, sizeof(rcvto));
   int reuse = 1;
@@ -217,13 +258,41 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
         if (!s.ready)
           c->nmissing.fetch_add(c->expected_pkts_per_gulp - s.npkt,
                                 std::memory_order_relaxed);
-        memcpy(out, s.data.data(), c->gulp_nbyte);
         int64_t seq0 = s.gulp_id * c->ntime_gulp;
+        // swap the filled buffer out and recycle a zeroed one so the
+        // 2x gulp-sized copy/zero happens OUTSIDE the lock — holding
+        // `mu` here stalls the RX scatter long enough to overflow the
+        // kernel socket buffer at high rate
+        std::swap(s.data, c->scratch);
+        std::swap(s.filled, c->scratch_filled);
+        bool complete = s.ready, mixed = c->mixed_geometry;
+        int pkn = c->pkt_nchan, pkp = c->pkt_npol;
+        uint32_t expected = c->expected_pkts_per_gulp;
         s.gulp_id = -1;
         s.npkt = 0;
         s.ready = false;
-        memset(s.data.data(), 0, s.data.size());
         c->emit_next++;
+        lk.unlock();
+        memcpy(out, c->scratch.data(), c->gulp_nbyte);
+        if (!complete && !mixed && expected) {
+          // zero only the holes, located via the landing bitmap
+          int pb_n = c->ninput / pkp;
+          for (uint32_t b = 0; b < expected; b++) {
+            if (c->scratch_filled[b / 64] & (1ull << (b % 64))) continue;
+            uint32_t pol_blk = b % pb_n;
+            uint32_t rest = b / pb_n;
+            uint32_t chan_blk = rest % (c->nchan / pkn);
+            uint32_t t = rest / (c->nchan / pkn);
+            uint8_t *dst = out +
+                ((size_t)t * c->nchan + (size_t)chan_blk * pkn) *
+                    c->ninput + (size_t)pol_blk * pkp;
+            if (pkp == c->ninput)
+              memset(dst, 0, (size_t)pkn * pkp);
+            else
+              for (int ch = 0; ch < pkn; ch++)
+                memset(dst + (size_t)ch * c->ninput, 0, pkp);
+          }
+        }
         return seq0;
       }
       // slot empty but stream has advanced: a fully-missing gulp
@@ -231,9 +300,10 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
         if (c->expected_pkts_per_gulp)
           c->nmissing.fetch_add(c->expected_pkts_per_gulp,
                                 std::memory_order_relaxed);
-        memset(out, 0, c->gulp_nbyte);
         int64_t seq0 = c->emit_next * c->ntime_gulp;
         c->emit_next++;
+        lk.unlock();
+        memset(out, 0, c->gulp_nbyte);
         return seq0;
       }
     }

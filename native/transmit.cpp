@@ -26,8 +26,10 @@ extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
   if (nchan % nchan_per_pkt || ninput % npol_per_pkt) return -1;
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
-  int sndbuf = 16 * 1024 * 1024;
-  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
+  int sndbuf = 64 * 1024 * 1024;
+  if (setsockopt(fd, SOL_SOCKET, SO_SNDBUFFORCE, &sndbuf,
+                 sizeof(sndbuf)) != 0)
+    setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons((uint16_t)port);
@@ -51,7 +53,10 @@ extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
   int64_t sent = 0, counter = 0;
   const long burst = 16L * nchan_blocks;  // throttle cadence
                                           // (test_tx_mt.c:28-34)
-  timespec ts = {0, delay_ns};
+  // absolute-deadline pacing: relative nanosleep overshoots by the
+  // syscall latency every burst, capping the achievable offered rate
+  timespec deadline;
+  clock_gettime(CLOCK_MONOTONIC, &deadline);
   for (int64_t t = 0; t < ntime; t++) {
     const uint8_t *frame = data + (size_t)t * nchan * ninput;
     for (int cb = 0; cb < nchan_blocks; cb++) {
@@ -62,21 +67,48 @@ extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
         h->chan_block_id = (uint32_t)cb;
         h->chan0 = (uint32_t)(cb * nchan_per_pkt);
         h->pol0 = (uint32_t)(pb * npol_per_pkt);
-        uint8_t *dst = pkt.data() + sizeof(cbd_snap2_hdr);
         const uint8_t *src =
             frame + (size_t)cb * nchan_per_pkt * ninput +
             (size_t)pb * npol_per_pkt;
-        for (int ch = 0; ch < nchan_per_pkt; ch++)
-          memcpy(dst + (size_t)ch * npol_per_pkt,
-                 src + (size_t)ch * ninput, npol_per_pkt);
-        if (send(fd, pkt.data(), pkt.size(), 0) < 0) {
-          // transient ENOBUFS: brief backoff and retry once
-          timespec b = {0, 50 * 1000};
-          nanosleep(&b, nullptr);
-          if (send(fd, pkt.data(), pkt.size(), 0) < 0) continue;
+        bool ok;
+        if (npol_per_pkt == ninput) {
+          // whole-row packets are contiguous in the gulp: send straight
+          // from the caller's buffer with a 2-element iovec (no copy)
+          iovec iov[2] = {{pkt.data(), sizeof(cbd_snap2_hdr)},
+                          {const_cast<uint8_t *>(src), payload}};
+          msghdr mh{};
+          mh.msg_iov = iov;
+          mh.msg_iovlen = 2;
+          ok = sendmsg(fd, &mh, 0) >= 0;
+          if (!ok) {
+            timespec b = {0, 50 * 1000};
+            nanosleep(&b, nullptr);
+            ok = sendmsg(fd, &mh, 0) >= 0;
+          }
+        } else {
+          uint8_t *dst = pkt.data() + sizeof(cbd_snap2_hdr);
+          for (int ch = 0; ch < nchan_per_pkt; ch++)
+            memcpy(dst + (size_t)ch * npol_per_pkt,
+                   src + (size_t)ch * ninput, npol_per_pkt);
+          ok = send(fd, pkt.data(), pkt.size(), 0) >= 0;
+          if (!ok) {
+            // transient ENOBUFS: brief backoff and retry once
+            timespec b = {0, 50 * 1000};
+            nanosleep(&b, nullptr);
+            ok = send(fd, pkt.data(), pkt.size(), 0) >= 0;
+          }
         }
+        if (!ok) continue;
         sent++;
-        if (delay_ns > 0 && counter % burst == 0) nanosleep(&ts, nullptr);
+        if (delay_ns > 0 && counter % burst == 0) {
+          deadline.tv_nsec += delay_ns;
+          while (deadline.tv_nsec >= 1000000000L) {
+            deadline.tv_nsec -= 1000000000L;
+            deadline.tv_sec += 1;
+          }
+          clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &deadline,
+                          nullptr);
+        }
       }
     }
   }

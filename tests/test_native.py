@@ -143,33 +143,50 @@ def test_native_cor_packetizer_matches_python(tmp_path):
 
 
 def test_throughput_localhost():
-    """Sanity rate check: native loopback should move >1 Gb/s easily."""
+    """Meaningful rate bar at the PRODUCTION gulp/packet geometry: the
+    capture engine must sustain a paced ~11 Gb/s stream with (near) zero
+    loss.  (bench_ingest measures the full 25.9 Gb/s reference bar —
+    29+ Gb/s loss-free on a 4-core host; this test uses a lower offered
+    rate so CI-class contention cannot flake it.)"""
+    import threading
     import time
 
+    from caltech_bifrost_dsp_tpu import config as _cfgmod
+
+    cfg = _cfgmod.XEngineConfig(nstand=352, nchan=192, ntime_gulp=480)
     port = PORT + 2
-    cap = native.NativeCapture(CFG, "127.0.0.1", port, nbuf=8)
+    cap = native.NativeCapture(cfg, "127.0.0.1", port, nbuf=16)
     cap.start()
     rng = np.random.RandomState(1)
-    data = rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]) \
+    data = rng.randint(0, 256, [cfg.ntime_gulp, cfg.nchan, cfg.ninput]) \
         .astype(np.uint8)
-    ngulp = 50
+    ngulp = 30
+
+    def tx():
+        for g in range(ngulp):
+            native.transmit_gulp(
+                "127.0.0.1", port, data, seq0=g * cfg.ntime_gulp,
+                nchan_per_pkt=64, npol_per_pkt=cfg.ninput,
+                delay_ns=1_500_000)  # ~11.5 Gb/s offered
+
     t0 = time.perf_counter()
-    for g in range(ngulp):
-        native.transmit_gulp("127.0.0.1", port, data,
-                             seq0=g * CFG.ntime_gulp, nchan_per_pkt=32,
-                             npol_per_pkt=32)
+    th = threading.Thread(target=tx)
+    th.start()
     ngot = 0
     while ngot < ngulp:
-        seq0, _ = cap.get_gulp(timeout_s=2.0)
+        seq0, _ = cap.get_gulp(timeout_s=3.0)
         if seq0 is None:
             break
         ngot += 1
+    th.join()
     dt = time.perf_counter() - t0
+    stats = cap.stats()
     cap.close()
-    moved = ngot * data.nbytes
-    gbps = 8 * moved / dt / 1e9
-    assert ngot >= ngulp // 2  # allow some kernel-buffer loss
-    assert gbps > 0.5
+    gbps = 8 * ngot * data.nbytes / dt / 1e9
+    total = max(stats["npkt"] + stats["nmissing"], 1)
+    assert ngot == ngulp
+    assert gbps > 5.0, f"sustained only {gbps:.2f} Gb/s"
+    assert stats["nmissing"] / total < 0.02
 
 
 def test_native_cor5c_packetizer_matches_python(tmp_path):
