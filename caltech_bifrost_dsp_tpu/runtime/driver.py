@@ -700,6 +700,8 @@ class XEnginePipeline:
 
     def shutdown(self):
         self._stop.set()
+        if hasattr(self.source, "stop"):
+            self.source.stop()
         self.staging.shutdown()
 
 

@@ -148,23 +148,7 @@ def build_pipeline(args, log) -> XEnginePipeline:
     else:
         from .. io import native
 
-        cap = native.NativeCapture(cfg, args.ip, args.port)
-        cap.start()
-
-        class _CaptureSource:
-            def header(self, **kw):
-                return source.sequence_header(cfg, **kw)
-
-            def stream(self, ngulp):
-                n = 0
-                while ngulp == 0 or n < ngulp:
-                    seq0, gulp = cap.get_gulp(timeout_s=5.0)
-                    if seq0 is None:
-                        continue
-                    yield seq0, gulp
-                    n += 1
-
-        src = _CaptureSource()
+        src = native.CaptureSource(cfg, args.ip, args.port)
 
     corr_outputs = []
     if args.corr_dest or args.testdatacorr:

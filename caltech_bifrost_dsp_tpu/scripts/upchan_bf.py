@@ -13,7 +13,8 @@ import sys
 
 import numpy as np
 
-from ..io.hdf5 import AccumBeamHDF5Writer, BeamHDF5Writer
+from ..io.hdf5 import (AccumBeamHDF5Writer, BeamHDF5Writer,
+                       FullObservationHDF5Writer)
 from ..io.source import TriggerFileSource
 from ..models import offline
 
@@ -38,6 +39,13 @@ def main(argv=None) -> int:
                         "default: a pseudo-random compact layout")
     p.add_argument("--accumulate", action="store_true", default=True)
     p.add_argument("--voltages", dest="accumulate", action="store_false")
+    p.add_argument("--full-obs", action="store_true",
+                   help="write into a preallocated whole-observation "
+                        "file (HDF5FullSaveBlock analog; --output is "
+                        "then the path PREFIX, RA/Dec are appended)")
+    p.add_argument("--obs-nsamples", type=int, default=0,
+                   help="total time samples to preallocate with "
+                        "--full-obs (default: this run's length)")
     args = p.parse_args(argv)
 
     src = TriggerFileSource(args.datain)
@@ -61,6 +69,22 @@ def main(argv=None) -> int:
     freqs, outs = offline.upchan_beamform_run(
         packed, cfg, sfreq, chan_bw, t_unix=t_unix,
         gulp_ntime=args.gulp, accumulate=args.accumulate)
+    if args.full_obs:
+        fstep = chan_bw / args.nupchan
+        w = FullObservationHDF5Writer(
+            args.output.removesuffix(".h5").removesuffix(".hdf5"),
+            ra=ra[0], dec=dec[0], tstart_unix=t_unix, tstep_s=1.0,
+            total_nsamples=args.obs_nsamples or len(outs),
+            sfreq_hz=float(freqs[0]), fstep_hz=fstep,
+            total_nfreq=len(freqs))
+        for i, powers in enumerate(outs):
+            # beam 0 intensity row per accumulated spectrum
+            w.write(powers[:1].astype(np.float32), t_unix + i,
+                    float(freqs[0]))
+        w.close()
+        print(f"wrote {w.filename} ({len(outs)} rows, "
+              f"{len(freqs)} fine channels)")
+        return 0
     if args.accumulate:
         w = AccumBeamHDF5Writer(args.output, nbeam=len(ra), freqs_hz=freqs)
         for i, powers in enumerate(outs):

@@ -109,3 +109,52 @@ def test_radec_altaz_fallback_sane():
     az, alt = skycoords.radec_to_altaz(37.95, 89.26, 1.7e9, 37.24,
                                        -118.28)
     assert abs(np.degrees(alt) - 37.24) < 2.0
+
+
+def test_full_observation_hdf5_writer(tmp_path):
+    """Preallocated whole-observation file (HDF5FullSaveBlock analog):
+    shape/attrs round-trip, multi-range scatter, reopen-append."""
+    import h5py
+
+    from caltech_bifrost_dsp_tpu.io.hdf5 import FullObservationHDF5Writer
+
+    nsamp, nfreq = 64, 48
+    prefix = str(tmp_path / "obs")
+    w = FullObservationHDF5Writer(
+        prefix, ra=12.3456, dec=-45.6789, tstart_unix=1_700_000_000.0,
+        tstep_s=0.5, total_nsamples=nsamp, sfreq_hz=50e6,
+        fstep_hz=1000.0, total_nfreq=nfreq)
+    assert w.filename.endswith("obs_12.35_-45.68.hdf5")
+    blk1 = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
+    w.write(blk1, t_unix=1_700_000_000.0 + 4 * 0.5, sfreq_hz=50e6)
+    # a second channel range of the same observation
+    blk2 = np.full((8, 16), 7.0, np.float32)
+    w.write(blk2, t_unix=1_700_000_000.0 + 4 * 0.5,
+            sfreq_hz=50e6 + 32 * 1000.0)
+    w.close()
+
+    # reopen-append (the 'a' mode semantics the reference relies on)
+    w2 = FullObservationHDF5Writer(
+        prefix, ra=12.3456, dec=-45.6789, tstart_unix=1_700_000_000.0,
+        tstep_s=0.5, total_nsamples=nsamp, sfreq_hz=50e6,
+        fstep_hz=1000.0, total_nfreq=nfreq)
+    w2.write(np.ones((4, 16), np.float32) * 3,
+             t_unix=1_700_000_000.0 + 20 * 0.5, sfreq_hz=50e6)
+    w2.close()
+
+    with h5py.File(w.filename, "r") as fh:
+        obs = fh["Observation1"]
+        assert obs.attrs["RA"] == 12.3456
+        assert obs.attrs["nChan"] == nfreq
+        assert obs.attrs["RBW"] == 1000.0
+        I = obs["Tuning1/I"][:]
+        assert I.shape == (nsamp, nfreq)
+        np.testing.assert_array_equal(I[4:12, 0:16], blk1)
+        np.testing.assert_array_equal(I[4:12, 32:48], blk2)
+        np.testing.assert_array_equal(I[20:24, 0:16], 3.0)
+        assert I[0].sum() == 0  # untouched rows stay zero-filled
+        freq = obs["Tuning1/freq"][:]
+        assert freq[0] == 50e6 and len(freq) == nfreq
+        t = obs["time"][:]
+        assert t["int"][0] == 1_700_000_000
+        assert obs["time"].attrs["format"] == "unix"

@@ -55,3 +55,21 @@ def test_upchan_imag_cli(tmp_path, dumpfile):
         # Hermitian integrations
         np.testing.assert_allclose(
             vis, np.conj(np.swapaxes(vis, 2, 3)), atol=1e-2)
+
+
+def test_upchan_bf_cli_full_obs(tmp_path, dumpfile):
+    """--full-obs writes the preallocated whole-observation file."""
+    prefix = str(tmp_path / "obs")
+    rc = upchan_bf.main(["--datain", dumpfile, "--output", prefix,
+                         "--ra-array", "10.0", "--dec-array", "30.0",
+                         "--nupchan", "8", "--gulp", "64",
+                         "--full-obs", "--obs-nsamples", "16"])
+    assert rc == 0
+    fname = prefix + "_10.00_30.00.hdf5"
+    with h5py.File(fname) as fh:
+        obs = fh["Observation1"]
+        assert obs.attrs["RA"] == 10.0
+        I = obs["Tuning1/I"][:]
+        assert I.shape == (16, CFG.nchan * 8)
+        assert np.isfinite(I).all() and I[:4].sum() > 0
+        assert obs["time"].shape == (16,)

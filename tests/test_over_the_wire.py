@@ -42,23 +42,13 @@ def test_wire_end_to_end(tmp_path):
                        8 * 1024 * 1024)
     rx_sock.bind(("127.0.0.1", COR_PORT))
 
-    # ingest: native capture engine as the pipeline source
-    cap = native.NativeCapture(CFG, "127.0.0.1", RX_PORT, nbuf=16)
-    cap.start()
-
-    class CaptureSource:
-        def header(self, **kw):
-            return source.sequence_header(CFG, **kw)
-
-        def stream(self, ngulp):
-            for _ in range(ngulp):
-                seq0, gulp = cap.get_gulp(timeout_s=20.0)
-                assert seq0 is not None, "capture timed out"
-                yield seq0, gulp
+    # ingest: the shared capture-source adapter (io/native.CaptureSource)
+    cap_src = native.CaptureSource(CFG, "127.0.0.1", RX_PORT, nbuf=16,
+                                   poll_s=20.0)
 
     corr_out = sink.CorrFullOutput(
         CFG, send=sink.UdpSender("127.0.0.1", COR_PORT).__call__)
-    pipe = XEnginePipeline(CFG, CaptureSource(),
+    pipe = XEnginePipeline(CFG, cap_src,
                            corr_outputs=[corr_out])
 
     ngulp = ntime // CFG.ntime_gulp
@@ -94,4 +84,4 @@ def test_wire_end_to_end(tmp_path):
     got = outbuf.transpose(4, 0, 1, 2, 3)  # [chan, s0, s1, p0, p1]
     np.testing.assert_array_equal(got, want)
     rx_sock.close()
-    cap.close()
+    cap_src.close()
