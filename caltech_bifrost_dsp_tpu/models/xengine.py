@@ -164,10 +164,11 @@ def fx_step(state: XEngineState,
       quant_scale: f32 scalar requantization gain.
     """
     if cfg.pfb_fft_impl == "matmul":
-        # complex-free path (some AOT backends reject complex HLO)
-        re, im = pfb_ops.pfb_channelize_planes(adc, window, cfg.nchan,
-                                               cfg.pfb_ntap)
-        packed = pfb_ops.quantize_4bit_planes(re, im, quant_scale)
+        # complex-free path (some AOT backends reject complex HLO);
+        # input-major internals — see pfb_channelize_planes_imajor
+        re, im = pfb_ops.pfb_channelize_planes_imajor(
+            adc, window, cfg.nchan, cfg.pfb_ntap)
+        packed = pfb_ops.quantize_4bit_planes_imajor(re, im, quant_scale)
     else:
         spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan,
                                       cfg.pfb_ntap,

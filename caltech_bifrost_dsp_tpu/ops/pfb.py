@@ -224,6 +224,53 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
     return jnp.moveaxis(re, -1, 1), jnp.moveaxis(im, -1, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("nchan", "ntap"))
+def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
+                                 nchan: int, ntap: int
+                                 ) -> tuple[jax.Array, jax.Array]:
+    """Input-major complex-free PFB: (re, im) f32 [ninput, nspec, nchan].
+
+    The production layout: measured on TPU, the [nspec, L, ninput]
+    chan-major FIR + moveaxis costs ~68 ms of the 100 ms real-time
+    budget (strided VPU access + a 2.6 GB f32 transpose), while the
+    same FIR with the frame axis innermost is roofline-fast and the
+    layout fix-up moves to the 8x-smaller packed product
+    (:func:`quantize_4bit_planes_imajor`).
+
+    Args:
+      x: f32 ADC samples [ntime, ninput].
+    """
+    L = 2 * nchan
+    ntime, ninput = x.shape
+    if ntime % L:
+        raise ValueError("ntime must be a multiple of 2*nchan")
+    nframe = ntime // L
+    nspec = nframe - (ntap - 1)
+    if nspec <= 0:
+        raise ValueError("not enough samples for one spectrum")
+    frames = x.T.reshape(ninput, nframe, L)
+    fir = sum(frames[:, k:k + nspec, :] * window[k][None, None, :]
+              for k in range(ntap))               # [ninput, nspec, L]
+    return _rdft_apply(fir, nchan)                # [ninput, nspec, nchan]
+
+
+def quantize_4bit_planes_imajor(re: jax.Array, im: jax.Array,
+                                scale=1.0) -> jax.Array:
+    """Quantize+pack input-major planes [ninput, nspec, nchan] and
+    transpose the PACKED bytes to the correlator's [nspec, nchan,
+    ninput] — the uint8 transpose is 8x cheaper than transposing the
+    f32 planes.  ``scale`` may be scalar or per-channel [nchan]."""
+    from ..utils.codec import pack_jnp
+
+    s = jnp.asarray(scale)
+    if s.ndim == 1:
+        s = s.reshape(1, 1, -1)                   # chan is the last axis
+    r = jnp.clip(jnp.round(re * s), -8, 7).astype(jnp.int8)
+    i = jnp.clip(jnp.round(im * s), -8, 7).astype(jnp.int8)
+    packed = pack_jnp(r, i)                       # [ninput, nspec, nchan]
+    return jnp.transpose(packed, (1, 2, 0))
+
+
 def _broadcast_scale(scale, ndim: int):
     """Scalar or per-channel [nchan] requant gain -> broadcastable shape
     for [..., nchan, ninput] spectra (the F-engine 'eq' coefficient

@@ -125,13 +125,21 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     def shard_fn(adc_local, window, gains_r, gains_i, pairs, quant_scale):
         # adc_local: [T_local, ninput / n_chan_shards]
         if cfg.pfb_fft_impl == "matmul":
-            # complex-free path (AOT backends without complex HLO)
+            # complex-free path (AOT backends without complex HLO);
+            # input-major planes [nin_local, nspec, chan] -> the F->X
+            # corner-turn splits the chan axis and gathers inputs on
+            # axis 0, then quantize transposes only the packed bytes
             adc_ext = _halo_extend(adc_local, cfg.nchan, cfg.pfb_ntap,
                                    "time")
-            re, im = pfb_ops.pfb_channelize_planes(
+            re, im = pfb_ops.pfb_channelize_planes_imajor(
                 adc_ext, window, cfg.nchan, cfg.pfb_ntap)
-            re, im = corner_turn(re), corner_turn(im)
-            packed = pfb_ops.quantize_4bit_planes(re, im, quant_scale)
+            if n_chan_shards > 1:
+                re = jax.lax.all_to_all(re, "chan", split_axis=2,
+                                        concat_axis=0, tiled=True)
+                im = jax.lax.all_to_all(im, "chan", split_axis=2,
+                                        concat_axis=0, tiled=True)
+            packed = pfb_ops.quantize_4bit_planes_imajor(re, im,
+                                                         quant_scale)
         else:
             spec = _pfb_with_halo(adc_local, window, cfg.nchan,
                                   cfg.pfb_ntap, "time",
@@ -334,10 +342,15 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         else:
             adc_ext = jnp.concatenate([carry_local, adc_local], axis=0)
         if cfg.pfb_fft_impl == "matmul":
-            re, im = pfb_ops.pfb_channelize_planes(
+            re, im = pfb_ops.pfb_channelize_planes_imajor(
                 adc_ext, window, cfg.nchan, cfg.pfb_ntap)
-            re, im = corner_turn(re), corner_turn(im)
-            packed = pfb_ops.quantize_4bit_planes(re, im, quant_scale)
+            if n_chan_shards > 1:
+                re = jax.lax.all_to_all(re, "chan", split_axis=2,
+                                        concat_axis=0, tiled=True)
+                im = jax.lax.all_to_all(im, "chan", split_axis=2,
+                                        concat_axis=0, tiled=True)
+            packed = pfb_ops.quantize_4bit_planes_imajor(re, im,
+                                                         quant_scale)
         else:
             spec = pfb_ops.pfb_channelize(adc_ext, window, cfg.nchan,
                                           cfg.pfb_ntap,

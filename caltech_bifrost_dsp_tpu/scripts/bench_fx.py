@@ -45,9 +45,9 @@ def bench_fengine(args) -> int:
     if args.fft_impl == "matmul":
         @jax.jit
         def step(adc, window):
-            re, im = pfb_ops.pfb_channelize_planes(adc, window, nchan,
-                                                   ntap)
-            return pfb_ops.quantize_4bit_planes(re, im, 0.5)
+            re, im = pfb_ops.pfb_channelize_planes_imajor(adc, window,
+                                                          nchan, ntap)
+            return pfb_ops.quantize_4bit_planes_imajor(re, im, 0.5)
     else:
         @jax.jit
         def step(adc, window):
