@@ -56,6 +56,10 @@ class XEngineConfig:
     # PFB spectral transform: "fft" (XLA rfft) or "matmul" (real DFT as
     # two MXU matmuls; needed where the backend's AOT compiler lacks FFT)
     pfb_fft_impl: str = "fft"
+    # DFT matmul precision: "high" (3-pass bf16, ~1e-6 relative) or
+    # "bf16" (1-pass, ~1e-2 — the error class of a fixed-point FPGA
+    # F-engine's coefficients, inside the 4-bit requantizer's step)
+    pfb_precision: str = "high"
 
     def __post_init__(self):
         if self.acc_len % self.ntime_gulp != 0:
@@ -81,6 +85,9 @@ class XEngineConfig:
         if self.pfb_fft_impl not in ("fft", "matmul"):
             raise ValueError(
                 f"unknown pfb_fft_impl {self.pfb_fft_impl!r}")
+        if self.pfb_precision not in ("high", "bf16"):
+            raise ValueError(
+                f"unknown pfb_precision {self.pfb_precision!r}")
 
     # ---- derived quantities -------------------------------------------------
 

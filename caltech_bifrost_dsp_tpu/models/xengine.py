@@ -167,7 +167,8 @@ def fx_step(state: XEngineState,
         # complex-free path (some AOT backends reject complex HLO);
         # input-major internals — see pfb_channelize_planes_imajor
         re, im = pfb_ops.pfb_channelize_planes_imajor(
-            adc, window, cfg.nchan, cfg.pfb_ntap)
+            adc, window, cfg.nchan, cfg.pfb_ntap,
+            precision=cfg.pfb_precision)
         packed = pfb_ops.quantize_4bit_planes_imajor(re, im, quant_scale)
     else:
         spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan,

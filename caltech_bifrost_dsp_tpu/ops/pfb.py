@@ -224,9 +224,11 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
     return jnp.moveaxis(re, -1, 1), jnp.moveaxis(im, -1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("nchan", "ntap"))
+@functools.partial(jax.jit, static_argnames=("nchan", "ntap",
+                                             "precision"))
 def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
-                                 nchan: int, ntap: int
+                                 nchan: int, ntap: int,
+                                 precision: str = "high"
                                  ) -> tuple[jax.Array, jax.Array]:
     """Input-major complex-free PFB: (re, im) f32 [ninput, nspec, nchan].
 
@@ -239,6 +241,17 @@ def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
 
     Args:
       x: f32 ADC samples [ntime, ninput].
+      precision: "high" (3-pass bf16 DFT matmuls, ~1e-6) or "bf16"
+        (1-pass; ~1e-2 — the class of error a fixed-point FPGA
+        F-engine's own coefficients carry, and well inside the 4-bit
+        requantizer's step at production scales).
+
+    Measured alternative worth recording: folding the window into
+    ntap per-tap DFT matrices (no FIR materialization) was SLOWER on
+    TPU in both precisions (1.29x/1.59x real time vs 1.66x for
+    FIR-then-DFT) — the 4x matmul work outweighs the saved FIR
+    traffic, because the DFT matmul is MXU-bound while the FIR is
+    HBM-bound and they overlap poorly.
     """
     L = 2 * nchan
     ntime, ninput = x.shape
@@ -251,6 +264,15 @@ def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
     frames = x.T.reshape(ninput, nframe, L)
     fir = sum(frames[:, k:k + nspec, :] * window[k][None, None, :]
               for k in range(ntap))               # [ninput, nspec, L]
+    if precision == "bf16" and _dft_factors(L) is None:
+        cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
+        fb = fir.astype(jnp.bfloat16)
+        dn = (((2,), (0,)), ((), ()))
+        re = jax.lax.dot_general(fb, cos_m.astype(jnp.bfloat16), dn,
+                                 preferred_element_type=jnp.float32)
+        im = jax.lax.dot_general(fb, msin_m.astype(jnp.bfloat16), dn,
+                                 preferred_element_type=jnp.float32)
+        return re, im
     return _rdft_apply(fir, nchan)                # [ninput, nspec, nchan]
 
 

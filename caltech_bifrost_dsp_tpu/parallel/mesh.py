@@ -132,7 +132,8 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
             adc_ext = _halo_extend(adc_local, cfg.nchan, cfg.pfb_ntap,
                                    "time")
             re, im = pfb_ops.pfb_channelize_planes_imajor(
-                adc_ext, window, cfg.nchan, cfg.pfb_ntap)
+                adc_ext, window, cfg.nchan, cfg.pfb_ntap,
+                precision=cfg.pfb_precision)
             if n_chan_shards > 1:
                 re = jax.lax.all_to_all(re, "chan", split_axis=2,
                                         concat_axis=0, tiled=True)
@@ -343,7 +344,8 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
             adc_ext = jnp.concatenate([carry_local, adc_local], axis=0)
         if cfg.pfb_fft_impl == "matmul":
             re, im = pfb_ops.pfb_channelize_planes_imajor(
-                adc_ext, window, cfg.nchan, cfg.pfb_ntap)
+                adc_ext, window, cfg.nchan, cfg.pfb_ntap,
+                precision=cfg.pfb_precision)
             if n_chan_shards > 1:
                 re = jax.lax.all_to_all(re, "chan", split_axis=2,
                                         concat_axis=0, tiled=True)

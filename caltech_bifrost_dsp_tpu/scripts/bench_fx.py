@@ -31,7 +31,6 @@ def bench_fengine(args) -> int:
     SURVEY.md section 0)."""
     from ..config import LWA352
     from ..ops import pfb as pfb_ops
-    from ..utils.codec import unpack_np
 
     nchan, ntap, ninput = args.nchan, LWA352.pfb_ntap, LWA352.ninput
     nspec = args.nspec
@@ -45,8 +44,8 @@ def bench_fengine(args) -> int:
     if args.fft_impl == "matmul":
         @jax.jit
         def step(adc, window):
-            re, im = pfb_ops.pfb_channelize_planes_imajor(adc, window,
-                                                          nchan, ntap)
+            re, im = pfb_ops.pfb_channelize_planes_imajor(
+                adc, window, nchan, ntap, precision=args.pfb_precision)
             return pfb_ops.quantize_4bit_planes_imajor(re, im, 0.5)
     else:
         @jax.jit
@@ -95,6 +94,8 @@ def main(argv=None) -> int:
                    choices=["fft", "matmul"],
                    help="matmul by default: the axon AOT helper rejects "
                         "the FFT lowering")
+    p.add_argument("--pfb-precision", type=str, default="high",
+                   choices=["high", "bf16"])
     p.add_argument("--fengine", action="store_true",
                    help="benchmark the F-engine operating point instead: "
                         "4096-channel PFB + 4-bit requant over all 704 "
@@ -110,7 +111,8 @@ def main(argv=None) -> int:
     from ..models import xengine
     from ..ops import pfb as pfb_ops
 
-    cfg = LWA352.replace(pfb_fft_impl=args.fft_impl)
+    cfg = LWA352.replace(pfb_fft_impl=args.fft_impl,
+                         pfb_precision=args.pfb_precision)
     state, _, gains, pairs = xengine.default_inputs(cfg)
     rng = np.random.RandomState(0)
     nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan

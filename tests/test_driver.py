@@ -182,3 +182,18 @@ def test_corr_only_pipeline_skips_beam_products():
     assert emitted
     for item in emitted:
         assert "bf_power" not in item and "vlbi" not in item
+
+
+def test_driver_publishes_perf_taxonomy():
+    """The compute stage publishes the reference's acquire/reserve/
+    process/gbps perf split (corr_block.py:453-457 taxonomy) so the
+    monitor bridge can detect starvation (acquire-bound) vs compute-
+    bound operation."""
+    src = source.DummySource(CFG, mode="random")
+    pipe = XEnginePipeline(CFG, src)
+    pipe.run(CFG.acc_len_slow // CFG.ntime_gulp, timeout_s=180)
+    perf = pipe.corr_cmd.perf_proclog.snapshot()
+    assert {"acquire_time", "reserve_time", "process_time",
+            "gbps"} <= set(perf)
+    assert perf["process_time"] > 0
+    assert perf["gbps"] > 0

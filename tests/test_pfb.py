@@ -158,3 +158,28 @@ def test_pfb_matmul_fengine_scale_matches_reference(rng):
     scale = np.abs(want).max()
     np.testing.assert_allclose(got.real, want.real, atol=3e-5 * scale)
     np.testing.assert_allclose(got.imag, want.imag, atol=3e-5 * scale)
+
+
+def test_imajor_folded_window_matches_reference(rng):
+    """The window-folded matmul PFB (no FIR materialization) must match
+    the numpy reference; the bf16 fast mode within its coarser bound."""
+    import jax.numpy as jnp
+
+    nchan, ntap, nspec, ninput = 64, 4, 5, 3
+    L = 2 * nchan
+    x = rng.standard_normal([(nspec + ntap - 1) * L, ninput]) \
+        .astype(np.float32)
+    w = pfb.pfb_window(nchan, ntap)
+    want = pfb.pfb_reference_np(x, w, nchan, ntap)  # [nspec, nchan, nin]
+    scale = np.abs(want).max()
+    re, im = pfb.pfb_channelize_planes_imajor(jnp.asarray(x),
+                                              jnp.asarray(w), nchan, ntap)
+    got = np.asarray(re) + 1j * np.asarray(im)      # [nin, nspec, nchan]
+    got = got.transpose(1, 2, 0)
+    np.testing.assert_allclose(got.real, want.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(got.imag, want.imag, atol=3e-5 * scale)
+    re, im = pfb.pfb_channelize_planes_imajor(
+        jnp.asarray(x), jnp.asarray(w), nchan, ntap, precision="bf16")
+    got = (np.asarray(re) + 1j * np.asarray(im)).transpose(1, 2, 0)
+    np.testing.assert_allclose(got.real, want.real, atol=3e-2 * scale)
+    np.testing.assert_allclose(got.imag, want.imag, atol=3e-2 * scale)
