@@ -165,11 +165,10 @@ def fx_step(state: XEngineState,
     """
     if cfg.pfb_fft_impl == "matmul":
         # complex-free path (some AOT backends reject complex HLO);
-        # input-major internals — see pfb_channelize_planes_imajor
-        re, im = pfb_ops.pfb_channelize_planes_imajor(
-            adc, window, cfg.nchan, cfg.pfb_ntap,
-            precision=cfg.pfb_precision)
-        packed = pfb_ops.quantize_4bit_planes_imajor(re, im, quant_scale)
+        # input-major internals, XLA or fused-Pallas engine
+        pk = pfb_ops.channelize_pack_imajor(adc, window, cfg,
+                                            quant_scale)
+        packed = jnp.transpose(pk, (1, 2, 0))
     else:
         spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan,
                                       cfg.pfb_ntap,

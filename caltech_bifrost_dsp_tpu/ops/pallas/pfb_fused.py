@@ -38,6 +38,20 @@ def _choose_ts(nspec: int, cap: int = 128) -> int | None:
     return None
 
 
+def _choose_ti(ninput: int, cap: int = 8) -> int:
+    """Largest input-tile size <= cap dividing ninput (test shapes can
+    be narrower than a full sublane; Mosaic pads)."""
+    for ti in range(min(cap, ninput), 0, -1):
+        if ninput % ti == 0:
+            return ti
+    return 1
+
+
+def tiling_viable(nspec: int, ninput: int) -> bool:
+    """Whether the fused kernel can tile these dimensions."""
+    return _choose_ts(nspec) is not None and ninput >= 1
+
+
 def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
                  n_s: int, precision):
     from jax.experimental import pallas as pl
@@ -93,7 +107,7 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
                                              "fast", "interpret"))
 def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                                nchan: int, ntap: int, scale,
-                               ti: int = 8, fast: bool = False,
+                               ti: int | None = None, fast: bool = False,
                                interpret: bool = False) -> jax.Array:
     """Fused PFB + 4-bit requant.
 
@@ -120,6 +134,8 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         raise ValueError("ntime must be a multiple of 2*nchan")
     nspec = ntime // L - (ntap - 1)
     ts = _choose_ts(nspec)
+    if ti is None:
+        ti = _choose_ti(ninput)
     if ts is None or ninput % ti:
         raise ValueError(f"no viable tiling for nspec={nspec}, "
                          f"ninput={ninput}")

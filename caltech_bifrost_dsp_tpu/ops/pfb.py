@@ -276,12 +276,12 @@ def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
     return _rdft_apply(fir, nchan)                # [ninput, nspec, nchan]
 
 
-def quantize_4bit_planes_imajor(re: jax.Array, im: jax.Array,
-                                scale=1.0) -> jax.Array:
-    """Quantize+pack input-major planes [ninput, nspec, nchan] and
-    transpose the PACKED bytes to the correlator's [nspec, nchan,
-    ninput] — the uint8 transpose is 8x cheaper than transposing the
-    f32 planes.  ``scale`` may be scalar or per-channel [nchan]."""
+def quantize_pack_imajor(re: jax.Array, im: jax.Array,
+                         scale=1.0) -> jax.Array:
+    """Quantize+pack input-major planes -> packed uint8
+    [ninput, nspec, nchan] (no layout change; the mesh corner-turn
+    rides these 8x-smaller bytes).  ``scale``: scalar or per-channel
+    [nchan]."""
     from ..utils.codec import pack_jnp
 
     s = jnp.asarray(scale)
@@ -289,8 +289,34 @@ def quantize_4bit_planes_imajor(re: jax.Array, im: jax.Array,
         s = s.reshape(1, 1, -1)                   # chan is the last axis
     r = jnp.clip(jnp.round(re * s), -8, 7).astype(jnp.int8)
     i = jnp.clip(jnp.round(im * s), -8, 7).astype(jnp.int8)
-    packed = pack_jnp(r, i)                       # [ninput, nspec, nchan]
-    return jnp.transpose(packed, (1, 2, 0))
+    return pack_jnp(r, i)                         # [ninput, nspec, nchan]
+
+
+def quantize_4bit_planes_imajor(re: jax.Array, im: jax.Array,
+                                scale=1.0) -> jax.Array:
+    """Quantize+pack input-major planes [ninput, nspec, nchan] and
+    transpose the PACKED bytes to the correlator's [nspec, nchan,
+    ninput] — the uint8 transpose is 8x cheaper than transposing the
+    f32 planes.  ``scale`` may be scalar or per-channel [nchan]."""
+    return jnp.transpose(quantize_pack_imajor(re, im, scale), (1, 2, 0))
+
+
+def channelize_pack_imajor(adc: jax.Array, window: jax.Array, cfg,
+                           quant_scale) -> jax.Array:
+    """Engine dispatch for the production channelizer: ADC
+    [ntime, ninput] -> packed uint8 [ninput, nspec, nchan] (input-major;
+    callers transpose the bytes or corner-turn them first)."""
+    if cfg.pfb_engine == "pallas":
+        from .pallas.pfb_fused import pfb_quantize_packed_pallas
+
+        return pfb_quantize_packed_pallas(
+            adc, window, cfg.nchan, cfg.pfb_ntap, quant_scale,
+            fast=cfg.pfb_precision == "bf16",
+            interpret=jax.default_backend() == "cpu")
+    re, im = pfb_channelize_planes_imajor(adc, window, cfg.nchan,
+                                          cfg.pfb_ntap,
+                                          precision=cfg.pfb_precision)
+    return quantize_pack_imajor(re, im, quant_scale)
 
 
 def _broadcast_scale(scale, ndim: int):

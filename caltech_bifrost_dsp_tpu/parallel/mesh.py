@@ -131,16 +131,16 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
             # axis 0, then quantize transposes only the packed bytes
             adc_ext = _halo_extend(adc_local, cfg.nchan, cfg.pfb_ntap,
                                    "time")
-            re, im = pfb_ops.pfb_channelize_planes_imajor(
-                adc_ext, window, cfg.nchan, cfg.pfb_ntap,
-                precision=cfg.pfb_precision)
+            # quantize BEFORE the F->X corner-turn: the all_to_all
+            # then moves packed 4+4-bit bytes — 8x less ICI traffic
+            # than the f32 planes (quantization is per-(chan, input)
+            # elementwise, so shard order does not change the values)
+            pk = pfb_ops.channelize_pack_imajor(adc_ext, window, cfg,
+                                                quant_scale)
             if n_chan_shards > 1:
-                re = jax.lax.all_to_all(re, "chan", split_axis=2,
+                pk = jax.lax.all_to_all(pk, "chan", split_axis=2,
                                         concat_axis=0, tiled=True)
-                im = jax.lax.all_to_all(im, "chan", split_axis=2,
-                                        concat_axis=0, tiled=True)
-            packed = pfb_ops.quantize_4bit_planes_imajor(re, im,
-                                                         quant_scale)
+            packed = jnp.transpose(pk, (1, 2, 0))
         else:
             spec = _pfb_with_halo(adc_local, window, cfg.nchan,
                                   cfg.pfb_ntap, "time",
@@ -343,16 +343,16 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         else:
             adc_ext = jnp.concatenate([carry_local, adc_local], axis=0)
         if cfg.pfb_fft_impl == "matmul":
-            re, im = pfb_ops.pfb_channelize_planes_imajor(
-                adc_ext, window, cfg.nchan, cfg.pfb_ntap,
-                precision=cfg.pfb_precision)
+            # quantize BEFORE the F->X corner-turn: the all_to_all
+            # then moves packed 4+4-bit bytes — 8x less ICI traffic
+            # than the f32 planes (quantization is per-(chan, input)
+            # elementwise, so shard order does not change the values)
+            pk = pfb_ops.channelize_pack_imajor(adc_ext, window, cfg,
+                                                quant_scale)
             if n_chan_shards > 1:
-                re = jax.lax.all_to_all(re, "chan", split_axis=2,
+                pk = jax.lax.all_to_all(pk, "chan", split_axis=2,
                                         concat_axis=0, tiled=True)
-                im = jax.lax.all_to_all(im, "chan", split_axis=2,
-                                        concat_axis=0, tiled=True)
-            packed = pfb_ops.quantize_4bit_planes_imajor(re, im,
-                                                         quant_scale)
+            packed = jnp.transpose(pk, (1, 2, 0))
         else:
             spec = pfb_ops.pfb_channelize(adc_ext, window, cfg.nchan,
                                           cfg.pfb_ntap,

@@ -96,6 +96,8 @@ def main(argv=None) -> int:
                         "the FFT lowering")
     p.add_argument("--pfb-precision", type=str, default="high",
                    choices=["high", "bf16"])
+    p.add_argument("--pfb-engine", type=str, default="xla",
+                   choices=["xla", "pallas"])
     p.add_argument("--fengine", action="store_true",
                    help="benchmark the F-engine operating point instead: "
                         "4096-channel PFB + 4-bit requant over all 704 "
@@ -112,7 +114,8 @@ def main(argv=None) -> int:
     from ..ops import pfb as pfb_ops
 
     cfg = LWA352.replace(pfb_fft_impl=args.fft_impl,
-                         pfb_precision=args.pfb_precision)
+                         pfb_precision=args.pfb_precision,
+                         pfb_engine=args.pfb_engine)
     state, _, gains, pairs = xengine.default_inputs(cfg)
     rng = np.random.RandomState(0)
     nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan

@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fx", action="store_true",
                    help="FX mode: source provides raw ADC samples; the "
                         "device step prepends PFB channelization")
+    p.add_argument("--pfb-engine", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="FX channelizer engine: XLA matmul path or the "
+                        "fused Pallas FIR+DFT+requant kernel")
+    p.add_argument("--pfb-precision", type=str, default="high",
+                   choices=["high", "bf16"])
     p.add_argument("--quant-scale", type=float, default=1.0,
                    help="FX-mode 4-bit requantization gain")
     p.add_argument("--fx-tone-chan", type=int, default=-1,
@@ -123,7 +129,8 @@ def build_pipeline(args, log) -> XEnginePipeline:
     cfg = XEngineConfig(
         nstand=args.nstand, nchan=args.nchan, nbeam=args.nbeam,
         ntime_gulp=args.ntime_gulp, acc_len=args.acc_len,
-        acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid)
+        acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
+        pfb_engine=args.pfb_engine, pfb_precision=args.pfb_precision)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 
