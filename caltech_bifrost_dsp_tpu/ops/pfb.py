@@ -305,14 +305,23 @@ def channelize_pack_imajor(adc: jax.Array, window: jax.Array, cfg,
                            quant_scale) -> jax.Array:
     """Engine dispatch for the production channelizer: ADC
     [ntime, ninput] -> packed uint8 [ninput, nspec, nchan] (input-major;
-    callers transpose the bytes or corner-turn them first)."""
-    if cfg.pfb_engine == "pallas":
-        from .pallas.pfb_fused import pfb_quantize_packed_pallas
+    callers transpose the bytes or corner-turn them first).
 
-        return pfb_quantize_packed_pallas(
-            adc, window, cfg.nchan, cfg.pfb_ntap, quant_scale,
-            fast=cfg.pfb_precision == "bf16",
-            interpret=jax.default_backend() == "cpu")
+    The fused kernel holds the direct [L, nchan] DFT matrices in VMEM,
+    so it applies at pipeline scale (nchan<=512-ish); F-engine-scale
+    channel counts fall back to the XLA factored-DFT path."""
+    if cfg.pfb_engine == "pallas":
+        from .pallas.pfb_fused import pfb_quantize_packed_pallas, \
+            tiling_viable
+
+        L = 2 * cfg.nchan
+        nspec = adc.shape[0] // L - (cfg.pfb_ntap - 1)
+        dft_vmem = 2 * L * cfg.nchan * 4
+        if tiling_viable(nspec, adc.shape[1]) and dft_vmem <= 8 << 20:
+            return pfb_quantize_packed_pallas(
+                adc, window, cfg.nchan, cfg.pfb_ntap, quant_scale,
+                fast=cfg.pfb_precision == "bf16",
+                interpret=jax.default_backend() == "cpu")
     re, im = pfb_channelize_planes_imajor(adc, window, cfg.nchan,
                                           cfg.pfb_ntap,
                                           precision=cfg.pfb_precision)
