@@ -103,6 +103,76 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
     return kernel
 
 
+def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
+                          ti: int, n_s: int, L1: int, L2: int,
+                          precision):
+    """F-engine-scale variant: the direct [L, nchan] DFT matrices would
+    need ~134 MB of VMEM at nchan=4096, so the kernel applies the
+    two-stage Cooley-Tukey factorization (tables are a few hundred KB)
+    — same derivation as :func:`..pfb._rdft_factored_tables`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    slab = (ts + ntap - 1) * L
+
+    def kernel(xt_ref, w_ref, c2_ref, s2_ref, twr_ref, twi_ref, c1_ref,
+               s1_ref, scale_ref, out_ref, xbuf, sems):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+
+        def get_dma(slot, s_idx):
+            return pltpu.make_async_copy(
+                xt_ref.at[pl.ds(i * ti, ti),
+                          pl.ds(s_idx * ts * L, slab)],
+                xbuf.at[slot], sems.at[slot])
+
+        slot = s % 2
+
+        @pl.when(s == 0)
+        def _():
+            get_dma(0, s).start()
+
+        @pl.when(s + 1 < n_s)
+        def _():
+            get_dma((s + 1) % 2, s + 1).start()
+
+        get_dma(slot, s).wait()
+        frames = xbuf[slot].reshape(ti, ts + ntap - 1, L)
+        fir = frames[:, 0:ts, :] * w_ref[0]
+        for k in range(1, ntap):
+            fir += frames[:, k:k + ts, :] * w_ref[k]
+        R = ti * ts
+        # x[n1 + L1*n2] -> [R, n2, n1]; inner DFT over n2
+        x3 = fir.reshape(R * L2, L1)       # rows (R, n2), cols n1
+        x3 = x3.reshape(R, L2, L1)
+        dn_mid = (((1,), (0,)), ((), ()))
+
+        def dot(a, b, dimn):
+            return jax.lax.dot_general(a, b, dimn, precision=precision,
+                                       preferred_element_type=jnp.float32)
+
+        # contract n2 -> [R, L1(n1), L2(k2)]
+        sr = dot(x3, c2_ref[:], dn_mid)
+        si = dot(x3, s2_ref[:], dn_mid)
+        # complex twiddle (sr + i si) * (twr + i twi), tables [L1, L2]
+        tr = sr * twr_ref[:] - si * twi_ref[:]
+        ti_ = sr * twi_ref[:] + si * twr_ref[:]
+        # outer DFT over n1 (middle axis): [R, L1, L2] x [L1, L1h]
+        xr = dot(tr, c1_ref[:], dn_mid) + dot(ti_, s1_ref[:], dn_mid)
+        xi = dot(ti_, c1_ref[:], dn_mid) - dot(tr, s1_ref[:], dn_mid)
+        # [R, L2(k2), L1h(k1)]; k = k1*L2 + k2 — the k-axis reorder
+        # happens OUTSIDE on the packed bytes (Mosaic cannot shape-cast
+        # the transposed vector; XLA reorders the uint8 cheaply).
+        # scale arrives pre-shaped [L2(k2), L1h(k1)].
+        sc = scale_ref[:]
+        r = jnp.clip(jnp.round(xr * sc), -8, 7).astype(jnp.int32)
+        q = jnp.clip(jnp.round(xi * sc), -8, 7).astype(jnp.int32)
+        packed = (((r & 0xF) << 4) | (q & 0xF)).astype(jnp.uint8)
+        out_ref[:] = packed.reshape(ti, ts, L2, L1 // 2)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("nchan", "ntap", "ti",
                                              "fast", "interpret"))
 def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
@@ -126,14 +196,18 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from ..pfb import rdft_matrices
+    from ..pfb import _dft_factors, _rdft_factored_tables, rdft_matrices
 
     L = 2 * nchan
     ntime, ninput = x.shape
     if ntime % L:
         raise ValueError("ntime must be a multiple of 2*nchan")
     nspec = ntime // L - (ntap - 1)
-    ts = _choose_ts(nspec)
+    factors = _dft_factors(L)
+    # factored scale: the ~6 live [R, L1, L2] f32 intermediates plus
+    # fir and the double-buffered slab must fit the 16 MB VMEM, so both
+    # tile dims shrink (measured: ti=8/ts=8 at L=8192 overflows by 13 MB)
+    ts = _choose_ts(nspec, cap=8 if factors else 128)
     if ti is None:
         ti = _choose_ti(ninput)
     if ts is None or ninput % ti:
@@ -142,11 +216,59 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
     n_i, n_s = ninput // ti, nspec // ts
 
     xt = x.T  # [ninput, ntime]; one XLA transpose, folded where possible
-    cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
     sc = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (nchan,))
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
+    slab_shape = (ts + ntap - 1) * L
 
+    if factors is not None:
+        L1, L2 = factors
+        tables, _ = _rdft_factored_tables(nchan)
+        c2, s2, twr, twi, c1, s1 = (jnp.asarray(m) for m in tables)
+        kernel = _make_factored_kernel(ntap, L, nchan, ts, ti, n_s,
+                                       L1, L2, precision)
+        table_spec = [
+            pl.BlockSpec(m.shape, lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for m in (c2, s2, twr, twi, c1, s1)]
+        # the kernel's scale table is indexed [k2, k1]
+        sc_kernel = sc.reshape(L1 // 2, L2).T
+        out4 = pl.pallas_call(
+            kernel,
+            grid=(n_i, n_s),
+            in_specs=[
+                pl.BlockSpec((ninput, ntime), lambda i, s: (0, 0),
+                             memory_space=pl.ANY),
+                pl.BlockSpec((ntap, L), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                *table_spec,
+                pl.BlockSpec((L2, L1 // 2), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ti, ts, L2, L1 // 2),
+                                   lambda i, s: (i, s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (ninput, nspec, L2, L1 // 2), jnp.uint8),
+            scratch_shapes=[
+                pltpu.VMEM((2, ti, slab_shape), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            # the ~6 live [R, L1, L2] f32 intermediates need more than
+            # the default 16 MB scoped-vmem budget at L=8192
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ninput * nspec * L * (ntap + L1 + 2 * L2),
+                bytes_accessed=(4 * ninput * ntime
+                                + ninput * nspec * nchan),
+                transcendentals=0),
+        )(xt, window, c2, s2, twr, twi, c1, s1, sc_kernel)
+        # k = k1*L2 + k2: reorder the packed bytes
+        return jnp.swapaxes(out4, 2, 3).reshape(ninput, nspec, nchan)
+
+    cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
     kernel = _make_kernel(ntap, L, nchan, ts, ti, n_s, precision)
     slab = (ts + ntap - 1) * L
     out = pl.pallas_call(

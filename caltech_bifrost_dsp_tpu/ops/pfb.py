@@ -107,7 +107,9 @@ def _rdft_factored_tables(nchan: int):
     k1 = np.arange(L1 // 2)[None, :]
     ang1 = 2 * np.pi * n1 * k1 / L1
     c1, s1 = np.cos(ang1), np.sin(ang1)
-    return tuple(jnp.asarray(m.astype(np.float32))
+    # cache NUMPY arrays: jnp constants created inside a jit trace
+    # would leak tracers through the lru_cache
+    return tuple(m.astype(np.float32)
                  for m in (c2, s2, twr, twi, c1, s1)), (L1, L2)
 
 
@@ -127,7 +129,8 @@ def _rdft_apply(fir2: jax.Array, nchan: int) -> tuple[jax.Array,
         cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
         return (jnp.matmul(fir2, cos_m, precision=hp),
                 jnp.matmul(fir2, msin_m, precision=hp))
-    (c2, s2, twr, twi, c1, s1), (L1, L2) = _rdft_factored_tables(nchan)
+    tables, (L1, L2) = _rdft_factored_tables(nchan)
+    c2, s2, twr, twi, c1, s1 = (jnp.asarray(m) for m in tables)
     lead = fir2.shape[:-1]
     x = fir2.reshape(lead + (L2, L1))        # [.., n2, n1]
     y = jnp.swapaxes(x, -1, -2)              # [.., n1, n2]
@@ -307,9 +310,9 @@ def channelize_pack_imajor(adc: jax.Array, window: jax.Array, cfg,
     [ntime, ninput] -> packed uint8 [ninput, nspec, nchan] (input-major;
     callers transpose the bytes or corner-turn them first).
 
-    The fused kernel holds the direct [L, nchan] DFT matrices in VMEM,
-    so it applies at pipeline scale (nchan<=512-ish); F-engine-scale
-    channel counts fall back to the XLA factored-DFT path."""
+    The fused kernel holds direct [L, nchan] DFT matrices in VMEM at
+    pipeline scale and the factored Cooley-Tukey tables at F-engine
+    scale; shapes with no viable tiling fall back to the XLA path."""
     if cfg.pfb_engine == "pallas":
         from .pallas.pfb_fused import pfb_quantize_packed_pallas, \
             tiling_viable
@@ -317,7 +320,9 @@ def channelize_pack_imajor(adc: jax.Array, window: jax.Array, cfg,
         L = 2 * cfg.nchan
         nspec = adc.shape[0] // L - (cfg.pfb_ntap - 1)
         dft_vmem = 2 * L * cfg.nchan * 4
-        if tiling_viable(nspec, adc.shape[1]) and dft_vmem <= 8 << 20:
+        viable = tiling_viable(nspec, adc.shape[1]) and (
+            dft_vmem <= 8 << 20 or _dft_factors(L) is not None)
+        if viable:
             return pfb_quantize_packed_pallas(
                 adc, window, cfg.nchan, cfg.pfb_ntap, quant_scale,
                 fast=cfg.pfb_precision == "bf16",

@@ -42,11 +42,17 @@ def bench_fengine(args) -> int:
     window = jnp.asarray(pfb_ops.pfb_window(nchan, ntap))
 
     if args.fft_impl == "matmul":
+        from types import SimpleNamespace
+
+        # channelize_pack_imajor only consults the pfb fields
+        cfg = SimpleNamespace(nchan=nchan, pfb_ntap=ntap,
+                              pfb_engine=args.pfb_engine,
+                              pfb_precision=args.pfb_precision)
+
         @jax.jit
         def step(adc, window):
-            re, im = pfb_ops.pfb_channelize_planes_imajor(
-                adc, window, nchan, ntap, precision=args.pfb_precision)
-            return pfb_ops.quantize_4bit_planes_imajor(re, im, 0.5)
+            pk = pfb_ops.channelize_pack_imajor(adc, window, cfg, 0.5)
+            return jnp.transpose(pk, (1, 2, 0))
     else:
         @jax.jit
         def step(adc, window):

@@ -66,8 +66,9 @@ FX_CFG = cfgmod.XEngineConfig(nstand=8, nchan=32, ntime_gulp=48,
                               pfb_ntap=4)
 
 
-def _run_fx(mesh):
-    src = source.ADCSource(FX_CFG, mode="tone", tone_chan=9,
+def _run_fx(mesh, cfg=None):
+    cfg = cfg or FX_CFG
+    src = source.ADCSource(cfg, mode="tone", tone_chan=9,
                            amplitude=5.0)
     slow_dumps, sub_pkts, ib_pkts = [], [], []
 
@@ -78,12 +79,12 @@ def _run_fx(mesh):
             slow_dumps.append(np.array(dense))
             return 0
 
-    sub = sink.CorrPartOutput(FX_CFG, send=sub_pkts.append)
-    ib = sink.IBeamOutput(FX_CFG, send=ib_pkts.append)
-    pipe = XEnginePipeline(FX_CFG, src, corr_outputs=[Grab()],
+    sub = sink.CorrPartOutput(cfg, send=sub_pkts.append)
+    ib = sink.IBeamOutput(cfg, send=ib_pkts.append)
+    pipe = XEnginePipeline(cfg, src, corr_outputs=[Grab()],
                            subsel_outputs=[sub], ibeam_outputs=[ib],
                            quant_scale=1.0, fx_mode=True, mesh=mesh)
-    ngulp = 2 * FX_CFG.acc_len_slow // FX_CFG.ntime_gulp
+    ngulp = 2 * cfg.acc_len_slow // cfg.ntime_gulp
     pipe.run(ngulp, timeout_s=300)
     return pipe, slow_dumps, sub_pkts, ib_pkts
 
@@ -105,5 +106,23 @@ def test_fx_pipeline_sharded_matches_single_device():
     assert len(sub_s) == len(sub_m) and sub_s == sub_m
     assert len(ib_s) == len(ib_m) and ib_s == ib_m
     # tone sanity on the sharded run
+    autos = np.real(slow_m[-1][:, 0, 0])
+    assert autos.argmax() == 9
+
+
+def test_fx_pipeline_sharded_pallas_engine_matches_single_device():
+    """The fused Pallas channelizer under the sharded driver: packed
+    corner-turn + halo must still be bitwise-identical to the
+    single-device Pallas FX driver."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 virtual devices")
+    cfg = FX_CFG.replace(pfb_fft_impl="matmul", pfb_engine="pallas")
+    mesh = pmesh.make_mesh(2, 4)
+    pipe_s, slow_s, sub_s, ib_s = _run_fx(None, cfg)
+    pipe_m, slow_m, sub_m, ib_m = _run_fx(mesh, cfg)
+    assert pipe_s.ndump_slow == pipe_m.ndump_slow == 2
+    for a, b in zip(slow_s, slow_m):
+        np.testing.assert_array_equal(a, b)
+    assert sub_s == sub_m and ib_s == ib_m
     autos = np.real(slow_m[-1][:, 0, 0])
     assert autos.argmax() == 9
