@@ -102,6 +102,8 @@ def render_text(store, keyroot: str = "/mon/corr") -> str:
             d = json.loads(raw)
         except ValueError:
             continue
+        if not isinstance(d, dict):
+            continue  # sub-keys (e.g. the cached baselines list)
         perf = d.get("perf", {})
         stats = d.get("stats", {})
         rows.append("%-24s state=%-10s gbps=%-8.2f acq=%-7.3f res=%-7.3f "

@@ -8,16 +8,18 @@ offline 32x "upchannelizer" — a blockwise, windowless frame FFT
 blocks/trigger_source_block.py:37-49) — which is also provided here.
 
 Design notes (TPU-first):
-- The critically-sampled PFB frontend is ``frames -> window FIR -> rFFT``:
-  frame f of the decimated-by-L stream uses samples [f*L, f*L + ntap*L).
-  The FIR is expressed as a dot of the [ntap, L] sample tile with the
-  [ntap, L] window (a VPU multiply + small-axis reduction); the FFT is
-  XLA's native rfft, which maps to the TPU's fused transcendental path.
-  Everything is static-shaped and jit/scan friendly.
+- The critically-sampled PFB frontend is ``frames -> window FIR -> DFT``.
+  Production path: input-major layout (frame axis innermost), real DFT
+  as MXU matmuls — direct [L, nchan] at pipeline scale, two-stage
+  Cooley-Tukey factored at F-engine scale — with the 4-bit requant
+  fused behind it; engines are the XLA graph here or the fused Pallas
+  kernel (:mod:`.pallas.pfb_fused`), selected by ``cfg.pfb_engine``.
+  An XLA ``rfft`` variant exists for backends whose compiler supports
+  the FFT lowering.  Everything is static-shaped and jit friendly.
 - Overlap framing makes this the framework's sequence-parallel component:
   time-sharded operation needs (ntap-1)*L halo samples from the preceding
   shard, exchanged with ``ppermute``
-  (:func:`caltech_bifrost_dsp_tpu.parallel.mesh.pfb_halo_exchange`).
+  (``caltech_bifrost_dsp_tpu.parallel.mesh._halo_extend``).
 """
 
 from __future__ import annotations

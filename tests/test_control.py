@@ -215,3 +215,17 @@ def test_arm_and_wait_three_pipelines_with_skew(store):
     for blk, exp in zip(blks, expected):
         assert blk.command_vals["start_time"] == start
         assert start >= exp            # in the future for EVERY pipeline
+
+
+def test_render_text_skips_subkeys(store):
+    """The cached baselines sub-key (a bare JSON list) must not break
+    the dashboard (regression: examples/demo.py crashed on it)."""
+    blk = make_block(store)
+    blk.update_stats({"state": "running",
+                      "baselines": [[[0, 0], [0, 0]]] * 4})
+    bridge = MonitorBridge(store, host="testhost")
+    bridge.publish_once()
+    keys = store.get_prefix("/mon/corr")
+    assert any(k.endswith("/baselines") for k in keys)  # sub-key exists
+    out = render_text(store)
+    assert "Corr" in out
