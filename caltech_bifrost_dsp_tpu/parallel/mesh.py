@@ -212,6 +212,60 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     return fn
 
 
+def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
+                   pairs, n_chan_shards, fast_first, fast_last,
+                   slow_first, want_power, want_vlbi):
+    """Shared per-shard tail of the stateful sharded steps: psum'd
+    correlation, fast/slow accumulation (static boundary flags), subsel
+    and the optional beam products (VLBI chan-gathered)."""
+    vis_part = corr.correlate_gulp(packed)
+    vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
+                   jax.lax.psum(vis_part.imag, "time"))
+    fast = vis_gulp if fast_first else Vis(fr + vis_gulp.real,
+                                           fi + vis_gulp.imag)
+    if fast_last:
+        slow = fast if slow_first else Vis(sr + fast.real,
+                                           si + fast.imag)
+    else:
+        slow = Vis(sr, si)
+    subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
+    out = [fast.real, fast.imag, slow.real, slow.imag,
+           subsel.real, subsel.imag]
+    if want_power or want_vlbi:
+        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+        if want_power:
+            out.append(bf.beam_power_sum(beams, cfg.ntime_sum))
+        if want_vlbi:
+            # VLBI beam-0 voltages need every channel: gather the small
+            # [t_local, c_local, 2, 2] slab over 'chan'
+            vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
+            if n_chan_shards > 1:
+                vlbi_local = jax.lax.all_gather(vlbi_local, "chan",
+                                                axis=1, tiled=True)
+            out.append(vlbi_local)
+    return tuple(out)
+
+
+def _state_out_specs(want_power, want_vlbi):
+    vis_spec = P("chan", None, None)
+    out_specs = [vis_spec, vis_spec, vis_spec, vis_spec,
+                 P("chan", None), P("chan", None)]
+    if want_power:
+        out_specs.append(P(None, "time", "chan", None))
+    if want_vlbi:
+        out_specs.append(P("time", None, None, None))
+    return tuple(out_specs)
+
+
+def _state_unpack(res, want_power, want_vlbi):
+    fr, fi, sr, si, subr, subi = res[:6]
+    rest = list(res[6:])
+    power = rest.pop(0) if want_power else None
+    vlbi = rest.pop(0) if want_vlbi else None
+    return ((Vis(fr, fi), Vis(sr, si)),
+            FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
+
+
 def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                              fast_first: bool, fast_last: bool,
                              slow_first: bool, want_power: bool = True,
@@ -232,59 +286,25 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
     n_chan_shards = mesh.shape["chan"]
 
     def shard_fn(fr, fi, sr, si, packed, gains_r, gains_i, pairs):
-        vis_part = corr.correlate_gulp(packed)
-        vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
-                       jax.lax.psum(vis_part.imag, "time"))
-        fast = vis_gulp if fast_first else Vis(fr + vis_gulp.real,
-                                               fi + vis_gulp.imag)
-        if fast_last:
-            slow = fast if slow_first else Vis(sr + fast.real,
-                                               si + fast.imag)
-        else:
-            slow = Vis(sr, si)
-        subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
-        out = [fast.real, fast.imag, slow.real, slow.imag,
-               subsel.real, subsel.imag]
-        if want_power or want_vlbi:
-            beams = bf.beamform_gulp(packed,
-                                     bf.BeamGains(gains_r, gains_i))
-            if want_power:
-                out.append(bf.beam_power_sum(beams, cfg.ntime_sum))
-            if want_vlbi:
-                # VLBI beam-0 voltages need every channel: gather the
-                # small [t_local, c_local, 2, 2] slab over 'chan'
-                vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
-                if n_chan_shards > 1:
-                    vlbi_local = jax.lax.all_gather(vlbi_local, "chan",
-                                                    axis=1, tiled=True)
-                out.append(vlbi_local)
-        return tuple(out)
+        return _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r,
+                              gains_i, pairs, n_chan_shards, fast_first,
+                              fast_last, slow_first, want_power,
+                              want_vlbi)
 
     vis_spec = P("chan", None, None)
-    out_specs = [vis_spec, vis_spec, vis_spec, vis_spec,
-                 P("chan", None), P("chan", None)]
-    if want_power:
-        out_specs.append(P(None, "time", "chan", None))
-    if want_vlbi:
-        out_specs.append(P("time", None, None, None))
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
                   P("time", "chan", None),
                   P("chan", None, None), P("chan", None, None), P()),
-        out_specs=tuple(out_specs),
+        out_specs=_state_out_specs(want_power, want_vlbi),
         check_vma=False)
 
     def fn(state, packed, gains: bf.BeamGains, pairs):
-        res = list(mapped(
+        res = mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
-            packed, gains.real, gains.imag, pairs))
-        fr, fi, sr, si, subr, subi = res[:6]
-        rest = res[6:]
-        power = rest.pop(0) if want_power else None
-        vlbi = rest.pop(0) if want_vlbi else None
-        return ((Vis(fr, fi), Vis(sr, si)),
-                FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
+            packed, gains.real, gains.imag, pairs)
+        return _state_unpack(res, want_power, want_vlbi)
 
     return fn
 
@@ -359,39 +379,12 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                                           fft_impl=cfg.pfb_fft_impl)
             spec = corner_turn(spec)
             packed = pfb_ops.quantize_4bit(spec, quant_scale)
-        vis_part = corr.correlate_gulp(packed)
-        vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
-                       jax.lax.psum(vis_part.imag, "time"))
-        fast = vis_gulp if fast_first else Vis(fr + vis_gulp.real,
-                                               fi + vis_gulp.imag)
-        if fast_last:
-            slow = fast if slow_first else Vis(sr + fast.real,
-                                               si + fast.imag)
-        else:
-            slow = Vis(sr, si)
-        subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
-        out = [fast.real, fast.imag, slow.real, slow.imag,
-               subsel.real, subsel.imag]
-        if want_power or want_vlbi:
-            beams = bf.beamform_gulp(packed,
-                                     bf.BeamGains(gains_r, gains_i))
-            if want_power:
-                out.append(bf.beam_power_sum(beams, cfg.ntime_sum))
-            if want_vlbi:
-                vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
-                if n_chan_shards > 1:
-                    vlbi_local = jax.lax.all_gather(vlbi_local, "chan",
-                                                    axis=1, tiled=True)
-                out.append(vlbi_local)
-        return tuple(out)
+        return _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r,
+                              gains_i, pairs, n_chan_shards, fast_first,
+                              fast_last, slow_first, want_power,
+                              want_vlbi)
 
     vis_spec = P("chan", None, None)
-    out_specs = [vis_spec, vis_spec, vis_spec, vis_spec,
-                 P("chan", None), P("chan", None)]
-    if want_power:
-        out_specs.append(P(None, "time", "chan", None))
-    if want_vlbi:
-        out_specs.append(P("time", None, None, None))
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
@@ -400,21 +393,16 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                   P(),                     # window
                   P("chan", None, None), P("chan", None, None),
                   P(), P()),
-        out_specs=tuple(out_specs),
+        out_specs=_state_out_specs(want_power, want_vlbi),
         check_vma=False)
 
     def fn(state, adc, carry_tail, window, quant_scale,
            gains: bf.BeamGains, pairs):
-        res = list(mapped(
+        res = mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             adc, carry_tail, window, gains.real, gains.imag, pairs,
-            quant_scale))
-        fr, fi, sr, si, subr, subi = res[:6]
-        rest = res[6:]
-        power = rest.pop(0) if want_power else None
-        vlbi = rest.pop(0) if want_vlbi else None
-        return ((Vis(fr, fi), Vis(sr, si)),
-                FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
+            quant_scale)
+        return _state_unpack(res, want_power, want_vlbi)
 
     return fn
 
