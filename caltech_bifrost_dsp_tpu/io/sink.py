@@ -376,10 +376,14 @@ class TriggeredDump:
     HEADER_BLOCK = 1024 * 1024
 
     def __init__(self, history_ring, dump_path: str = ".",
-                 file_prefix: str = "lwa-dump"):
+                 file_prefix: str = "lwa-dump", direct: bool = False):
         self.ring = history_ring
         self.dump_path = dump_path
         self.file_prefix = file_prefix
+        # O_DIRECT|O_SYNC writes, the reference's sustained-dump mode
+        # (triggered_dump_block.py:260-263); falls back to buffered IO
+        # on filesystems without O_DIRECT (e.g. tmpfs)
+        self.direct = direct
         self.abort_requested = False
 
     def trigger(self, ntime_per_file: int, nfile: int = 1,
@@ -425,11 +429,55 @@ class TriggeredDump:
         if len(hdr_json) > self.HEADER_BLOCK - 8:
             raise ValueError("header too large")
         total = self.HEADER_BLOCK + data.nbytes
+        if self.direct and self._write_file_direct(fname, hdr_json,
+                                                   data, total):
+            return
         with open(fname, "wb") as fh:
             fh.write(total.to_bytes(8, "little"))
             fh.write(hdr_json)
             fh.write(b"\x00" * (self.HEADER_BLOCK - 8 - len(hdr_json)))
             fh.write(data.tobytes())
+
+    def _write_file_direct(self, fname: str, hdr_json: bytes,
+                           data: np.ndarray, total: int) -> bool:
+        """O_DIRECT|O_SYNC body writes from a page-aligned mmap bounce
+        buffer; the sub-page tail is appended buffered.  Returns False
+        when the filesystem rejects O_DIRECT (caller falls back)."""
+        import mmap
+
+        if not hasattr(os, "O_DIRECT"):
+            return False
+        try:
+            fd = os.open(fname, os.O_WRONLY | os.O_CREAT | os.O_TRUNC
+                         | os.O_DIRECT | os.O_SYNC, 0o644)
+        except OSError:
+            return False
+        try:
+            raw = memoryview(data).cast("B")
+            chunk_n = 32 << 20
+            buf = mmap.mmap(-1, max(self.HEADER_BLOCK, chunk_n))
+            buf[:8] = total.to_bytes(8, "little")
+            buf[8:8 + len(hdr_json)] = hdr_json
+            buf[8 + len(hdr_json):self.HEADER_BLOCK] = \
+                b"\x00" * (self.HEADER_BLOCK - 8 - len(hdr_json))
+            os.write(fd, buf[:self.HEADER_BLOCK])
+            aligned = len(raw) // 4096 * 4096
+            off = 0
+            while off < aligned:
+                n = min(chunk_n, aligned - off)
+                buf[:n] = raw[off:off + n]
+                os.write(fd, buf[:n])
+                off += n
+            os.close(fd)
+            fd = -1
+            if aligned < len(raw):
+                with open(fname, "ab") as fh:
+                    fh.write(raw[aligned:])
+            return True
+        except OSError:
+            if fd >= 0:
+                os.close(fd)
+            return False
 
     def abort(self) -> None:
         self.abort_requested = True

@@ -279,7 +279,7 @@ class XEnginePipeline:
                  autostartat: int = 0, sync_time: int = 0,
                  selftest: bool = False, batch_accumulations: bool = True,
                  fx_mode: bool = False, quant_scale: float = 1.0,
-                 mesh=None):
+                 mesh=None, dump_direct: bool = False):
         self.cfg = cfg
         # batch_accumulations: process whole fast accumulations in one
         # device call (the MXU accumulates over the full window with no
@@ -329,7 +329,8 @@ class XEnginePipeline:
                                        frame_nbyte=frame_nbyte)
             from ..io.sink import TriggeredDump
 
-            self.dumper = TriggeredDump(self.history)
+            self.dumper = TriggeredDump(self.history,
+                                        direct=dump_direct)
             self.dump_cmd = TriggeredDumpCommandBlock(self.dumper,
                                                       store=store)
         # runtime destination control for the primary sinks

@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit the production LWA-SV COR (Mark5C) wire "
                         "format on the full/partial visibility outputs "
                         "(reference use_cor_fmt=True default)")
+    p.add_argument("--dump-direct", action="store_true",
+                   help="O_DIRECT|O_SYNC triggered-dump writes (the "
+                        "reference's sustained-dump mode; falls back "
+                        "on filesystems without O_DIRECT)")
     p.add_argument("--bufgbytes", type=float, default=0.0,
                    help="deep trigger-history buffer size in GB")
     p.add_argument("--ngulp", type=int, default=0,
@@ -195,6 +199,7 @@ def build_pipeline(args, log) -> XEnginePipeline:
         cfg, src, store=store, corr_outputs=corr_outputs,
         subsel_outputs=subsel_outputs, pbeam_outputs=pbeam_outputs,
         ibeam_outputs=ibeam_outputs, mesh=mesh,
+        dump_direct=args.dump_direct,
         history_nbyte=int(args.bufgbytes * 1e9),
         autostartat=args.autostartat, sync_time=int(time.time()),
         selftest=args.testcorr, fx_mode=args.fx,

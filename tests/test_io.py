@@ -159,3 +159,24 @@ def test_triggered_dump_and_replay(tmp_path):
     # replay gulps carry advancing seq indices
     seqs = [s for s, _ in src.gulps(8)]
     assert seqs == [h["seq0"] + 8 * i for i in range(4)]
+
+
+def test_triggered_dump_direct_io(tmp_path, rng):
+    """O_DIRECT dump mode (reference: triggered_dump_block.py:260-263)
+    produces byte-identical files to the buffered path (falling back
+    transparently where the filesystem rejects O_DIRECT)."""
+    from caltech_bifrost_dsp_tpu.runtime.ring import HistoryRing
+
+    frame_nbyte = 4 * 16 * 2
+    ring = HistoryRing(nbyte=64 * frame_nbyte, frame_nbyte=frame_nbyte)
+    ring.set_header({"nchan": 4, "nstand": 16, "npol": 2, "seq0": 0},
+                    frame0_seq=0)
+    for _ in range(32):
+        ring.push(rng.randint(0, 256, frame_nbyte).astype(np.uint8))
+    d_buf = sink.TriggeredDump(ring, dump_path=str(tmp_path),
+                               file_prefix="buf")
+    d_dir = sink.TriggeredDump(ring, dump_path=str(tmp_path),
+                               file_prefix="dir", direct=True)
+    f1 = d_buf.trigger(ntime_per_file=32 * 128, nfile=1)[0]
+    f2 = d_dir.trigger(ntime_per_file=32 * 128, nfile=1)[0]
+    assert open(f1, "rb").read() == open(f2, "rb").read()
