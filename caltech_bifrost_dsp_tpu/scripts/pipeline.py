@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fx", action="store_true",
                    help="FX mode: source provides raw ADC samples; the "
                         "device step prepends PFB channelization")
+    p.add_argument("--pfb-impl", type=str, default="matmul",
+                   choices=["matmul", "fft"],
+                   help="PFB transform: matmul real-DFT (works on every "
+                        "backend) or XLA rfft (faster on backends whose "
+                        "compiler supports the FFT lowering)")
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="FX channelizer engine: XLA matmul path or the "
@@ -134,7 +139,8 @@ def build_pipeline(args, log) -> XEnginePipeline:
         nstand=args.nstand, nchan=args.nchan, nbeam=args.nbeam,
         ntime_gulp=args.ntime_gulp, acc_len=args.acc_len,
         acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
-        pfb_engine=args.pfb_engine, pfb_precision=args.pfb_precision)
+        pfb_fft_impl=args.pfb_impl, pfb_engine=args.pfb_engine,
+        pfb_precision=args.pfb_precision)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 

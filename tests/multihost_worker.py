@@ -74,6 +74,7 @@ gains = bf.BeamGains(make(gains_np, P("chan", None, None)),
 pairs = make(pairs_np, P())
 
 from caltech_bifrost_dsp_tpu.ops.correlate import Vis  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 step = jax.jit(pmesh.xengine_sharded_state_fn(
     CFG, mesh, fast_first=True, fast_last=True, slow_first=True))
@@ -87,6 +88,31 @@ sub_re = multihost_utils.process_allgather(out.subsel.real, tiled=True)
 power = multihost_utils.process_allgather(out.bf_power, tiled=True)
 vlbi_g = multihost_utils.process_allgather(vlbi, tiled=True)
 
+# the FX (north-star) sharded step across processes: PFB halo rides the
+# cross-process 'time' axis (DCN in production), corner-turn rides the
+# in-process 'chan' axis (ICI); all processes must gather identical
+# packed-products
+from caltech_bifrost_dsp_tpu.ops import pfb as pfb_ops  # noqa: E402
+
+FXCFG = CFG.replace(pfb_fft_impl="matmul")
+L = 2 * FXCFG.nchan
+nspec_total = CFG.ntime_gulp
+adc_np = rng.standard_normal(
+    [nspec_total * L, FXCFG.ninput]).astype(np.float32) * 3
+carry_np = np.zeros(((FXCFG.pfb_ntap - 1) * L, FXCFG.ninput), np.float32)
+window_np = pfb_ops.pfb_window(FXCFG.nchan, FXCFG.pfb_ntap)
+fxstep = jax.jit(pmesh.fx_sharded_state_fn(
+    FXCFG, mesh, fast_first=True, fast_last=True, slow_first=True))
+with jax.set_mesh(mesh):
+    stf, outf, vlbif = fxstep(
+        (Vis(make(zero, vis_spec), make(zero, vis_spec)),
+         Vis(make(zero, vis_spec), make(zero, vis_spec))),
+        make(adc_np, P("time", "chan")), make(carry_np, P(None, "chan")),
+        make(window_np.astype(np.float32), P()),
+        jnp.float32(1.0), gains, pairs)
+fx_re = multihost_utils.process_allgather(outf.vis.real, tiled=True)
+fx_im = multihost_utils.process_allgather(outf.vis.imag, tiled=True)
+
 # arming alignment: every process derives the same next allowed start
 # from the shared clock arithmetic (the reference's cross-pipeline arm,
 # lwa352_utils.py:5-13 semantics)
@@ -98,5 +124,6 @@ np.savez(os.path.join(outdir, f"out_{pid}.npz"),
          fast_re=np.asarray(fast_re), fast_im=np.asarray(fast_im),
          sub_re=np.asarray(sub_re), power=np.asarray(power),
          vlbi=np.asarray(vlbi_g), start=start,
+         fx_re=np.asarray(fx_re), fx_im=np.asarray(fx_im),
          chan_range=np.array([lo, hi]), packed=packed_np)
 print(f"worker {pid} OK", flush=True)

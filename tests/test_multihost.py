@@ -37,9 +37,15 @@ def test_two_process_global_mesh(tmp_path):
 
     a = np.load(tmp_path / "out_0.npz")
     b = np.load(tmp_path / "out_1.npz")
-    # both processes observe identical gathered products
-    for key in ("fast_re", "fast_im", "sub_re", "power", "vlbi"):
+    # both processes observe identical gathered products (incl. the
+    # sharded FX step: cross-process PFB halo + in-process corner-turn)
+    for key in ("fast_re", "fast_im", "sub_re", "power", "vlbi",
+                "fx_re", "fx_im"):
         np.testing.assert_array_equal(a[key], b[key])
+    # FX visibilities are Hermitian with non-negative autos
+    fx = a["fx_re"] + 1j * a["fx_im"]
+    np.testing.assert_array_equal(fx, np.conj(np.swapaxes(fx, 1, 2)))
+    assert (np.real(np.diagonal(fx, axis1=1, axis2=2)) >= 0).all()
     # cross-process arming alignment
     assert a["start"] == b["start"]
     assert int(a["start"]) % 96 == 0

@@ -147,14 +147,25 @@ def test_throughput_localhost():
     capture engine must sustain a paced ~11 Gb/s stream with (near) zero
     loss.  (bench_ingest measures the full 25.9 Gb/s reference bar —
     29+ Gb/s loss-free on a 4-core host; this test uses a lower offered
-    rate so CI-class contention cannot flake it.)"""
+    rate so CI-class contention cannot flake it.)  One retry absorbs a
+    transient host-load spike."""
+    last = None
+    for attempt in range(2):
+        try:
+            _run_throughput(PORT + 2 + attempt)
+            return
+        except AssertionError as e:
+            last = e
+    raise last
+
+
+def _run_throughput(port):
     import threading
     import time
 
     from caltech_bifrost_dsp_tpu import config as _cfgmod
 
     cfg = _cfgmod.XEngineConfig(nstand=352, nchan=192, ntime_gulp=480)
-    port = PORT + 2
     cap = native.NativeCapture(cfg, "127.0.0.1", port, nbuf=16)
     cap.start()
     rng = np.random.RandomState(1)
