@@ -216,6 +216,15 @@ class OutputControl(BlockControl):
     def set_dest_file(self, dest_file: str):
         return self._send_command(dest_file=dest_file)
 
+    def enable_autos(self, path: str = "."):
+        """Write per-stand autocorrelation spectra per slow dump
+        (reference API: corr_output_full_control.py:83-87 — documented
+        there but unwired in its block; functional here)."""
+        return self._send_command(write_autos=path)
+
+    def disable_autos(self):
+        return self._send_command(write_autos="")
+
 
 class BeamOutputControl(BlockControl):
     """Per-beam destination lists (beamform_output_control.py parity)."""

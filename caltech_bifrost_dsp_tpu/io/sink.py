@@ -85,6 +85,11 @@ class CorrFullOutput:
         self.native_dest = native_dest  # (ip, port): use the C++
         # packetizer (byte-identical packets, ~50x rate)
         self.use_cor_fmt = use_cor_fmt
+        # write_autos: per-dump autocorrelation spectra to .npy files
+        # (the reference DOCUMENTS this control key but never wired it —
+        # corr_output_full_control.py:83-87 vs corr_output_full_block.py;
+        # here it works)
+        self.autos_path: str | None = None
         self.throttle = Throttle(max_mbps * 1e6 if max_mbps > 0 else None)
         self.perf = PerfTimer()
         self.checkfile = checkfile
@@ -163,10 +168,25 @@ class CorrFullOutput:
             self.check_failures += 1
         return ok
 
+    def write_autos(self, vis_dense: np.ndarray, spectra_id: int) -> str:
+        """Dump per-stand autocorrelation spectra
+        (real f32 [nstand, npol, nchan]) to <autos_path>/autos_<id>.npy."""
+        cfg = self.cfg
+        nin = cfg.ninput
+        diag = np.real(vis_dense[:, np.arange(nin), np.arange(nin)])
+        autos = diag.T.reshape(cfg.nstand, cfg.npol,
+                               cfg.nchan).astype(np.float32)
+        fname = os.path.join(self.autos_path,
+                             "autos_%d.npy" % spectra_id)
+        np.save(fname, autos)
+        return fname
+
     def send_matrix(self, vis_dense: np.ndarray, sync_time: int,
                     spectra_id: int, acc_len: int) -> int:
         """Packetize the upper triangle, one dual-pol baseline per packet.
         Returns packets sent."""
+        if self.autos_path:
+            self.write_autos(vis_dense, spectra_id)
         if self.send is None:
             return 0
         cfg = self.cfg

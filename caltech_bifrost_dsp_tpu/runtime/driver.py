@@ -174,11 +174,21 @@ class OutputCommandBlock(CommandBlock):
                                 initial_val=dest_port)
         self.define_command_key("dest_file", type=str, initial_val="")
         self.define_command_key("max_mbps", type=int, initial_val=-1)
+        if hasattr(sink_obj, "autos_path"):
+            # write_autos: documented in the reference control API but
+            # unwired in its block (corr_output_full_control.py:83-87);
+            # functional here — "" disables, else a directory path
+            self.define_command_key("write_autos", type=str,
+                                    initial_val="")
 
     def apply_pending(self):
         if not self.update_pending:
             return
         self.update_command_vals()
+        if "write_autos" in self.command_vals and \
+                hasattr(self.sink, "autos_path"):
+            self.sink.autos_path = (self.command_vals["write_autos"]
+                                    or None)
         ip = self.command_vals["dest_ip"]
         port = self.command_vals["dest_port"]
         dest_file = self.command_vals["dest_file"]

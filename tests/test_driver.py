@@ -197,3 +197,27 @@ def test_driver_publishes_perf_taxonomy():
             "gbps"} <= set(perf)
     assert perf["process_time"] > 0
     assert perf["gbps"] > 0
+
+
+def test_write_autos_through_pipeline_control():
+    """enable_autos over the control plane makes each slow dump write
+    an autocorrelation .npy (feature the reference documents but never
+    wired, corr_output_full_control.py:83-87)."""
+    import tempfile
+
+    store = MemoryStore()
+    src = source.DummySource(CFG, mode="random")
+    out = sink.CorrFullOutput(CFG, send=None)
+    pipe = XEnginePipeline(CFG, src, store=store, corr_outputs=[out])
+    cli = CorrControlClient(store=store, timeout_s=5.0)
+    ctl = PipelineControl(cli, __import__("socket").gethostname(), 0)
+    with tempfile.TemporaryDirectory() as td:
+        ctl.corr_output_full.enable_autos(td)
+        pipe.run(CFG.acc_len_slow // CFG.ntime_gulp, timeout_s=180)
+        import os
+
+        files = [f for f in os.listdir(td) if f.startswith("autos_")]
+        assert len(files) == 1
+        autos = np.load(os.path.join(td, files[0]))
+        assert autos.shape == (CFG.nstand, CFG.npol, CFG.nchan)
+        assert (autos >= 0).all() and autos.sum() > 0

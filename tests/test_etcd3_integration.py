@@ -62,7 +62,8 @@ def test_command_round_trip_over_real_etcd(etcd_server):
     cmd_key = blk.command_key
     resp_key = blk.response_key
     store.put(cmd_key, json.dumps(
-        {"id": "77", "cmd": "update", "val": {"acc_len": 4800}}))
+        {"id": "77", "cmd": "update",
+         "val": {"kwargs": {"acc_len": 4800}}}))
     deadline = time.time() + 10
     resp = None
     while time.time() < deadline:
@@ -79,7 +80,8 @@ def test_command_round_trip_over_real_etcd(etcd_server):
     assert blk.command_vals["acc_len"] == 4800
     # invalid value -> rejected with code -3 semantics
     store.put(cmd_key, json.dumps(
-        {"id": "78", "cmd": "update", "val": {"acc_len": 7}}))
+        {"id": "78", "cmd": "update",
+         "val": {"kwargs": {"acc_len": 7}}}))
     deadline = time.time() + 10
     while time.time() < deadline:
         raw = store.get(resp_key)

@@ -86,3 +86,39 @@ def test_disable_with_zero_ip():
     pipe.run(CFG.acc_len_slow // CFG.ntime_gulp, timeout_s=180)
     assert pipe.ndump_slow == 1
     assert pkts == []  # emission disabled
+
+
+def test_write_autos_control(tmp_path):
+    """The write_autos control key (documented but unwired in the
+    reference, corr_output_full_control.py:83-87) dumps per-stand
+    autocorrelation spectra per slow dump here."""
+    import numpy as np
+
+    from caltech_bifrost_dsp_tpu import config as cfgmod
+    from caltech_bifrost_dsp_tpu.control.store import MemoryStore
+    from caltech_bifrost_dsp_tpu.io import sink
+    from caltech_bifrost_dsp_tpu.runtime.driver import OutputCommandBlock
+
+    cfg = cfgmod.TINY
+    store = MemoryStore()
+    pkts = []
+    out = sink.CorrFullOutput(cfg, send=pkts.append)
+    blk = OutputCommandBlock("CorrOutputFull", out, store=store)
+    import json
+
+    store.put(blk.command_key, json.dumps(
+        {"id": "1", "cmd": "update",
+         "val": {"kwargs": {"write_autos": str(tmp_path)}}}))
+    blk.apply_pending()
+    assert out.autos_path == str(tmp_path)
+    rng = np.random.RandomState(0)
+    nin = cfg.ninput
+    v = rng.randint(-5, 5, [5, cfg.nchan, nin]) \
+        + 1j * rng.randint(-5, 5, [5, cfg.nchan, nin])
+    dense = np.einsum("tci,tcj->cij", v, v.conj())
+    out.send_matrix(dense, sync_time=0, spectra_id=480, acc_len=480)
+    autos = np.load(tmp_path / "autos_480.npy")
+    assert autos.shape == (cfg.nstand, cfg.npol, cfg.nchan)
+    want = np.real(dense[:, 0, 0])
+    np.testing.assert_allclose(autos[0, 0], want)
+    assert (autos >= 0).all()  # autocorrelations are non-negative
