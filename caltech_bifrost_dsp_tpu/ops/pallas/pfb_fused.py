@@ -47,9 +47,13 @@ def _choose_ti(ninput: int, cap: int = 8) -> int:
     return 1
 
 
-def tiling_viable(nspec: int, ninput: int) -> bool:
-    """Whether the fused kernel can tile these dimensions."""
-    return _choose_ts(nspec) is not None and ninput >= 1
+def tiling_viable(nspec: int, ninput: int, nchan: int = 0) -> bool:
+    """Whether the fused kernel can tile these dimensions (the factored
+    F-engine-scale branch caps the spectra tile at 8)."""
+    from ..pfb import _dft_factors
+
+    cap = 8 if (nchan and _dft_factors(2 * nchan) is not None) else 128
+    return _choose_ts(nspec, cap=cap) is not None and ninput >= 1
 
 
 def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,

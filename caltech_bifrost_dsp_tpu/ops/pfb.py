@@ -322,7 +322,7 @@ def channelize_pack_imajor(adc: jax.Array, window: jax.Array, cfg,
         L = 2 * cfg.nchan
         nspec = adc.shape[0] // L - (cfg.pfb_ntap - 1)
         dft_vmem = 2 * L * cfg.nchan * 4
-        viable = tiling_viable(nspec, adc.shape[1]) and (
+        viable = tiling_viable(nspec, adc.shape[1], cfg.nchan) and (
             dft_vmem <= 8 << 20 or _dft_factors(L) is not None)
         if viable:
             return pfb_quantize_packed_pallas(

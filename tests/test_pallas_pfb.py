@@ -55,3 +55,21 @@ def test_fused_kernel_factored_fengine_scale(rng):
         jnp.asarray(x), jnp.asarray(w), nchan, ntap, 0.5,
         interpret=True))
     np.testing.assert_array_equal(got, _want(x, w, nchan, ntap, 0.5))
+
+
+def test_channelize_dispatch_falls_back_on_unviable_factored_tiling(rng):
+    """A spectra count with no ts<=8 divisor at F-engine scale must fall
+    back to the XLA path instead of raising at trace time."""
+    from types import SimpleNamespace
+
+    nchan, ntap, nspec, ninput = 4096, 4, 9, 2   # 9 has no mult-of-8 tile
+    L = 2 * nchan
+    assert not tiling_viable(nspec, ninput, nchan)
+    x = (rng.standard_normal([(nspec + ntap - 1) * L, ninput]) * 3) \
+        .astype(np.float32)
+    w = pfb.pfb_window(nchan, ntap)
+    cfg = SimpleNamespace(nchan=nchan, pfb_ntap=ntap,
+                          pfb_engine="pallas", pfb_precision="high")
+    got = np.asarray(pfb.channelize_pack_imajor(
+        jnp.asarray(x), jnp.asarray(w), cfg, 0.5))
+    np.testing.assert_array_equal(got, _want(x, w, nchan, ntap, 0.5))
