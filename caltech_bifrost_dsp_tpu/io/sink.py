@@ -72,6 +72,19 @@ class UdpSender:
         self.sock.sendto(payload, self.dest)
 
 
+def _cor_header_fields(cfg, sync_time: int, spectra_id: int,
+                       acc_len: int, nchan_sum: int = 1):
+    """Shared Mark5C header arithmetic (ADC-sample time units,
+    corr_output_full_block.py:624,676-677): returns (frame_number,
+    secs_count, freq_count, time_tag, navg)."""
+    sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
+    return (pk.cor_frame_number(nchan_sum, cfg.npipeline,
+                                cfg.pipeline_id + 1),
+            int(sync_time + spectra_id / cfg.spectra_rate_hz)
+            & 0xFFFFFFFF,
+            cfg.chan0 & 0xFFFF, spectra_id * sps, acc_len * sps)
+
+
 class CorrFullOutput:
     """Emit a slow-dump visibility matrix as full-correlation packets."""
 
@@ -112,16 +125,17 @@ class CorrFullOutput:
                      + 1j * np.asarray(vis_im, dtype=np.int64)
                      ).astype(np.complex128)
             return self.send_matrix(dense, sync_time, spectra_id, acc_len)
+        if self.autos_path:
+            # autocorrelations are real: the re plane's diagonal suffices
+            self._write_autos_planes(np.asarray(vis_re), spectra_id)
         ip, port = self.native_dest
         self.perf.tick()
         if self.use_cor_fmt:
-            sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
+            fn, secs, freq, time_tag, navg = _cor_header_fields(
+                cfg, sync_time, spectra_id, acc_len)
             n = native.cor5c_send_matrix(
-                vis_re, vis_im, cfg.nstand, cfg.npol,
-                pk.cor_frame_number(1, cfg.npipeline, cfg.pipeline_id + 1),
-                int(sync_time + spectra_id
-                    / cfg.spectra_rate_hz) & 0xFFFFFFFF,
-                cfg.chan0 & 0xFFFF, spectra_id * sps, acc_len * sps,
+                vis_re, vis_im, cfg.nstand, cfg.npol, fn, secs, freq,
+                time_tag, navg,
                 dest_ip=ip, port=port, max_mbps=float(self.max_mbps))
         else:
             n = native.cor_send_matrix(
@@ -171,9 +185,13 @@ class CorrFullOutput:
     def write_autos(self, vis_dense: np.ndarray, spectra_id: int) -> str:
         """Dump per-stand autocorrelation spectra
         (real f32 [nstand, npol, nchan]) to <autos_path>/autos_<id>.npy."""
+        return self._write_autos_planes(np.real(vis_dense), spectra_id)
+
+    def _write_autos_planes(self, vis_re: np.ndarray,
+                            spectra_id: int) -> str:
         cfg = self.cfg
         nin = cfg.ninput
-        diag = np.real(vis_dense[:, np.arange(nin), np.arange(nin)])
+        diag = vis_re[:, np.arange(nin), np.arange(nin)]
         autos = diag.T.reshape(cfg.nstand, cfg.npol,
                                cfg.nchan).astype(np.float32)
         fname = os.path.join(self.autos_path,
@@ -193,12 +211,8 @@ class CorrFullOutput:
         self.perf.tick()
         v = vis_dense.reshape(cfg.nchan, cfg.nstand, cfg.npol, cfg.nstand,
                               cfg.npol)
-        # COR-format header arithmetic
-        # (corr_output_full_block.py:624,676-677): time units are ADC
-        # samples, samples_per_spectra = nchan*fs/bw = fs/chan_bw.
-        sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
-        frame_number = pk.cor_frame_number(1, cfg.npipeline,
-                                           cfg.pipeline_id + 1)
+        frame_number, secs, freq, time_tag, navg = _cor_header_fields(
+            cfg, sync_time, spectra_id, acc_len)
         npkt = 0
         for s0 in range(cfg.nstand):
             block = v[:, s0, :, s0:, :]  # [chan, p0, nstand-s0, p1]
@@ -210,11 +224,9 @@ class CorrFullOutput:
                     data[..., 0] = z.real
                     data[..., 1] = z.imag
                     hdr5c = pk.CorHeader(
-                        frame_number=frame_number,
-                        secs_count=int(sync_time + spectra_id
-                                       / cfg.spectra_rate_hz) & 0xFFFFFFFF,
-                        freq_count=cfg.chan0 & 0xFFFF, cor_gain=0,
-                        time_tag=spectra_id * sps, cor_navg=acc_len * sps,
+                        frame_number=frame_number, secs_count=secs,
+                        freq_count=freq, cor_gain=0,
+                        time_tag=time_tag, cor_navg=navg,
                         stand_i=s0 + 1, stand_j=s0 + j + 1)
                     pkt = pk.encode_cor(hdr5c, data)
                 else:
@@ -252,43 +264,48 @@ class CorrPartOutput:
         self.throttle = Throttle(max_mbps * 1e6 if max_mbps > 0 else None)
 
     def _send_subsel_cor(self, subsel_re: np.ndarray,
-                         subsel_im: np.ndarray, spectra_id: int,
+                         subsel_im: np.ndarray, baselines, spectra_id: int,
                          acc_len: int, sync_time: int) -> int:
-        """COR-format fast visibilities: one dual-pol baseline per packet,
-        stand pair from the upper-triangle enumeration of the effective
-        stand count — bifrost's source-number mapping
-        (corr_output_part_block.py:366-401; 'assume ordered so all the
-        stand0 baselines come first')."""
+        """COR-format fast visibilities: one dual-pol baseline per
+        packet.  Stand labels come from the ACTUAL baselines map when
+        available (each consecutive npol^2 group's stand pair); without
+        one, from the upper-triangle enumeration bifrost's packetizer
+        assumes (corr_output_part_block.py:366-401, 'assume ordered so
+        all the stand0 baselines come first')."""
         cfg = self.cfg
         nchan_out, nvis = subsel_re.shape
-        nbl = nvis // (cfg.npol * cfg.npol)
-        nstand_virt = int((-1 + np.sqrt(1 + 8 * nbl)) / 2)
-        sps = int(round(cfg.fs_hz / cfg.chan_bw_hz))
-        frame_number = pk.cor_frame_number(cfg.nchan_sum, cfg.npipeline,
-                                           cfg.pipeline_id + 1)
-        # [nchan, nbl, p0, p1] view of the consecutive-4 pol blocks
+        npp = cfg.npol * cfg.npol
+        nbl = nvis // npp
+        if baselines is not None:
+            blmap = np.asarray(baselines).reshape(nbl, npp, 2, 2)
+            stand_pairs = [(int(blmap[b, 0, 0, 0]) + 1,
+                            int(blmap[b, 0, 1, 0]) + 1)
+                           for b in range(nbl)]
+        else:
+            nstand_virt = int((-1 + np.sqrt(1 + 8 * nbl)) / 2)
+            stand_pairs = [(i + 1, j + 1)
+                           for i in range(nstand_virt)
+                           for j in range(i, nstand_virt)][:nbl]
+        frame_number, secs, freq, time_tag, navg = _cor_header_fields(
+            cfg, sync_time, spectra_id, acc_len,
+            nchan_sum=cfg.nchan_sum)
+        # [nchan, nbl, p0, p1] view of the consecutive-npol^2 pol blocks
         re = subsel_re.reshape(nchan_out, nbl, cfg.npol, cfg.npol)
         im = subsel_im.reshape(nchan_out, nbl, cfg.npol, cfg.npol)
         npkt = 0
-        b = 0
-        for i in range(nstand_virt):
-            for j in range(i, nstand_virt):
-                data = np.empty((nchan_out, cfg.npol, cfg.npol, 2),
-                                np.int32)
-                data[..., 0] = re[:, b]
-                data[..., 1] = im[:, b]
-                hdr = pk.CorHeader(
-                    frame_number=frame_number,
-                    secs_count=int(sync_time + spectra_id
-                                   / cfg.spectra_rate_hz) & 0xFFFFFFFF,
-                    freq_count=cfg.chan0 & 0xFFFF, cor_gain=0,
-                    time_tag=spectra_id * sps, cor_navg=acc_len * sps,
-                    stand_i=i + 1, stand_j=j + 1)
-                pkt = pk.encode_cor(hdr, data)
-                self.send(pkt)
-                self.throttle.account(8 * len(pkt))
-                npkt += 1
-                b += 1
+        for b, (si, sj) in enumerate(stand_pairs):
+            data = np.empty((nchan_out, cfg.npol, cfg.npol, 2),
+                            np.int32)
+            data[..., 0] = re[:, b]
+            data[..., 1] = im[:, b]
+            hdr = pk.CorHeader(
+                frame_number=frame_number, secs_count=secs,
+                freq_count=freq, cor_gain=0, time_tag=time_tag,
+                cor_navg=navg, stand_i=si, stand_j=sj)
+            pkt = pk.encode_cor(hdr, data)
+            self.send(pkt)
+            self.throttle.account(8 * len(pkt))
+            npkt += 1
         return npkt
 
     def send_subsel(self, subsel_re: np.ndarray, subsel_im: np.ndarray,
@@ -298,8 +315,8 @@ class CorrPartOutput:
             return 0
         cfg = self.cfg
         if self.use_cor_fmt:
-            return self._send_subsel_cor(subsel_re, subsel_im, spectra_id,
-                                         acc_len, sync_time)
+            return self._send_subsel_cor(subsel_re, subsel_im, baselines,
+                                         spectra_id, acc_len, sync_time)
         nchan_out, nvis = subsel_re.shape
         bl = np.asarray(baselines, np.uint32)
         npkt = 0
@@ -476,17 +493,21 @@ class TriggeredDump:
             raw = memoryview(data).cast("B")
             chunk_n = 32 << 20
             buf = mmap.mmap(-1, max(self.HEADER_BLOCK, chunk_n))
+            # NB: slicing an mmap yields an UNALIGNED heap bytes copy,
+            # which O_DIRECT rejects — always write memoryview slices
+            # of the page-aligned mapping
+            mv = memoryview(buf)
             buf[:8] = total.to_bytes(8, "little")
             buf[8:8 + len(hdr_json)] = hdr_json
             buf[8 + len(hdr_json):self.HEADER_BLOCK] = \
                 b"\x00" * (self.HEADER_BLOCK - 8 - len(hdr_json))
-            os.write(fd, buf[:self.HEADER_BLOCK])
+            os.write(fd, mv[:self.HEADER_BLOCK])
             aligned = len(raw) // 4096 * 4096
             off = 0
             while off < aligned:
                 n = min(chunk_n, aligned - off)
                 buf[:n] = raw[off:off + n]
-                os.write(fd, buf[:n])
+                os.write(fd, mv[:n])
                 off += n
             os.close(fd)
             fd = -1

@@ -56,8 +56,34 @@ def tiling_viable(nspec: int, ninput: int, nchan: int = 0) -> bool:
     return _choose_ts(nspec, cap=cap) is not None and ninput >= 1
 
 
+def _dot_3pass(a, b, dn):
+    """f32 x f32 matmul as the bf16_3x decomposition (a_hi@b_hi +
+    a_hi@b_lo + a_lo@b_hi) — XLA's Precision.HIGH, which Mosaic's
+    dot_general does not accept directly (only DEFAULT/HIGHEST)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _make_dot(fast: bool):
+    if fast:
+        def dot(a, b, dn):
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
+                preferred_element_type=jnp.float32)
+        return dot
+    return _dot_3pass
+
+
 def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
-                 n_s: int, precision):
+                 n_s: int, fast: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -92,12 +118,10 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
         for k in range(1, ntap):
             fir += frames[:, k:k + ts, :] * w_ref[k]
         f2 = fir.reshape(ti * ts, L)
-        re = jax.lax.dot_general(
-            f2, cos_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
-        im = jax.lax.dot_general(
-            f2, msin_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
+        dot = _make_dot(fast)
+        dn2 = (((1,), (0,)), ((), ()))
+        re = dot(f2, cos_ref[:], dn2)
+        im = dot(f2, msin_ref[:], dn2)
         sc = scale_ref[0]
         r = jnp.clip(jnp.round(re * sc), -8, 7).astype(jnp.int32)
         q = jnp.clip(jnp.round(im * sc), -8, 7).astype(jnp.int32)
@@ -109,7 +133,7 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
 
 def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
                           ti: int, n_s: int, L1: int, L2: int,
-                          precision):
+                          fast: bool):
     """F-engine-scale variant: the direct [L, nchan] DFT matrices would
     need ~134 MB of VMEM at nchan=4096, so the kernel applies the
     two-stage Cooley-Tukey factorization (tables are a few hundred KB)
@@ -150,10 +174,7 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
         x3 = fir.reshape(R * L2, L1)       # rows (R, n2), cols n1
         x3 = x3.reshape(R, L2, L1)
         dn_mid = (((1,), (0,)), ((), ()))
-
-        def dot(a, b, dimn):
-            return jax.lax.dot_general(a, b, dimn, precision=precision,
-                                       preferred_element_type=jnp.float32)
+        dot = _make_dot(fast)
 
         # contract n2 -> [R, L1(n1), L2(k2)]
         sr = dot(x3, c2_ref[:], dn_mid)
@@ -191,7 +212,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
       window: f32 [ntap, 2*nchan] prototype filter.
       scale: scalar or per-channel [nchan] requant gain.
       fast: single-pass bf16 DFT matmuls (~1e-2) instead of the
-        3-pass HIGHEST split (~1e-6).
+        3-pass HIGH split (~1e-6).
 
     Returns:
       uint8 packed [ninput, nspec, nchan] (input-major; transpose the
@@ -221,8 +242,6 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
 
     xt = x.T  # [ninput, ntime]; one XLA transpose, folded where possible
     sc = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (nchan,))
-    precision = (jax.lax.Precision.DEFAULT if fast
-                 else jax.lax.Precision.HIGHEST)
     slab_shape = (ts + ntap - 1) * L
 
     if factors is not None:
@@ -230,7 +249,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         tables, _ = _rdft_factored_tables(nchan)
         c2, s2, twr, twi, c1, s1 = (jnp.asarray(m) for m in tables)
         kernel = _make_factored_kernel(ntap, L, nchan, ts, ti, n_s,
-                                       L1, L2, precision)
+                                       L1, L2, fast)
         table_spec = [
             pl.BlockSpec(m.shape, lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -273,7 +292,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         return jnp.swapaxes(out4, 2, 3).reshape(ninput, nspec, nchan)
 
     cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
-    kernel = _make_kernel(ntap, L, nchan, ts, ti, n_s, precision)
+    kernel = _make_kernel(ntap, L, nchan, ts, ti, n_s, fast)
     slab = (ts + ntap - 1) * L
     out = pl.pallas_call(
         kernel,

@@ -115,18 +115,20 @@ def _rdft_factored_tables(nchan: int):
                  for m in (c2, s2, twr, twi, c1, s1)), (L1, L2)
 
 
-def _rdft_apply(fir2: jax.Array, nchan: int) -> tuple[jax.Array,
-                                                      jax.Array]:
+def _rdft_apply(fir2: jax.Array, nchan: int,
+                precision: str = "high") -> tuple[jax.Array, jax.Array]:
     """Real-input DFT of the last axis (length 2*nchan) -> (re, im)
     planes with nchan bins, as MXU matmuls.
 
     Uses the O(L*(L1+L2)) two-stage Cooley-Tukey factorization when L
     factors usefully (essential at F-engine scale: direct O(L^2) at
     L=8192 is ~21x more MXU work), falling back to the direct [L, nchan]
-    matmul pair for small L.
+    matmul pair for small L.  ``precision``: "high" (3-pass bf16) or
+    "bf16" (1-pass).
     """
     L = 2 * nchan
-    hp = jax.lax.Precision.HIGH
+    hp = (jax.lax.Precision.DEFAULT if precision == "bf16"
+          else jax.lax.Precision.HIGH)
     if _dft_factors(L) is None:
         cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
         return (jnp.matmul(fir2, cos_m, precision=hp),
@@ -278,7 +280,8 @@ def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
         im = jax.lax.dot_general(fb, msin_m.astype(jnp.bfloat16), dn,
                                  preferred_element_type=jnp.float32)
         return re, im
-    return _rdft_apply(fir, nchan)                # [ninput, nspec, nchan]
+    # factored scale honors bf16 via single-pass matmul precision
+    return _rdft_apply(fir, nchan, precision=precision)
 
 
 def quantize_pack_imajor(re: jax.Array, im: jax.Array,

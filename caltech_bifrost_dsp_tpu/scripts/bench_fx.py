@@ -75,7 +75,7 @@ def bench_fengine(args) -> int:
         out = step(adc, window)
     fetch(out)
     per_call = max((time.perf_counter() - t0 - overhead)
-                   / (args.niter - 1), 1e-9)
+                   / max(args.niter - 1, 1), 1e-9)
 
     adc_samples = nspec * L  # per input
     msps_per_input = adc_samples / per_call / 1e6
@@ -95,7 +95,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="FX single-chip benchmark")
     p.add_argument("--nspec", type=int, default=2400,
                    help="spectra per device call (one fast accumulation)")
-    p.add_argument("--niter", type=int, default=10)
+    p.add_argument("--niter", type=int, default=10,
+                   help="measurement iterations (>= 2: one call's "
+                        "dispatch overhead is subtracted)")
     p.add_argument("--fft-impl", type=str, default="matmul",
                    choices=["fft", "matmul"],
                    help="matmul by default: the axon AOT helper rejects "
@@ -150,7 +152,7 @@ def main(argv=None) -> int:
         state, out = step(state, adc, window, gains, pairs)
     fetch(state)
     per_call = max((time.perf_counter() - t0 - overhead)
-                   / (args.niter - 1), 1e-9)
+                   / max(args.niter - 1, 1), 1e-9)
 
     adc_samples = args.nspec * 2 * cfg.nchan  # per input
     msps_per_input = adc_samples / per_call / 1e6

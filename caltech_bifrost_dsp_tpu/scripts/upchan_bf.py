@@ -70,6 +70,12 @@ def main(argv=None) -> int:
         packed, cfg, sfreq, chan_bw, t_unix=t_unix,
         gulp_ntime=args.gulp, accumulate=args.accumulate)
     if args.full_obs:
+        if len(ra) > 1:
+            raise SystemExit(
+                "--full-obs writes the reference's single-beam "
+                "observation file (HDF5FullSaveBlock assumes nbeam=1); "
+                "pass one RA/Dec, or drop --full-obs for the per-beam "
+                "dynamic writer")
         fstep = chan_bw / args.nupchan
         w = FullObservationHDF5Writer(
             args.output.removesuffix(".h5").removesuffix(".hdf5"),

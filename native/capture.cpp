@@ -116,6 +116,12 @@ static void rx_loop(CbdCapture *c) {
                  ((int)h->nchan != c->pkt_nchan ||
                   (int)h->npol != c->pkt_npol)) {
         c->mixed_geometry = true;  // revert to claim-time zeroing
+        // slots claimed under bitmap mode were never zeroed and their
+        // emit-time hole fill is now disabled: scrub them once so
+        // stale bytes from recycled buffers cannot leak out as data
+        for (auto &sl : c->slots)
+          if (sl.gulp_id >= 0 && !sl.ready)
+            memset(sl.data.data(), 0, sl.data.size());
       }
       int64_t seq = (int64_t)h->seq;
       // Sequence-break detection: a jump of more than a few gulps starts

@@ -93,13 +93,16 @@ struct Emitter {
     return true;
   }
 
-  bool emit(const uint8_t *pkt, size_t n) {
+  /* 1 = emitted, 0 = dropped (UDP backpressure; keep going),
+   * -1 = fatal (stop). */
+  int emit(const uint8_t *pkt, size_t n) {
+    bool dropped = false;
     if (fh) {
-      if (fwrite(pkt, 1, n, fh) != n) return false;
+      if (fwrite(pkt, 1, n, fh) != n) return -1;
     } else if (send(fd, pkt, n, 0) < 0) {
       timespec b = {0, 50 * 1000};
       nanosleep(&b, nullptr);
-      if (send(fd, pkt, n, 0) < 0) return true; /* drop, keep going */
+      dropped = send(fd, pkt, n, 0) < 0;
     }
     if (max_mbps > 0) {
       bits += 8 * (long long)n;
@@ -119,7 +122,7 @@ struct Emitter {
         bits = 0;
       }
     }
-    return true;
+    return dropped ? 0 : 1;
   }
 
   ~Emitter() {
@@ -175,8 +178,9 @@ extern "C" int64_t cbd_cor5c_send_matrix(
           }
         }
       }
-      if (!out.emit(pkt.data(), pkt_size)) return sent;
-      sent++;
+      int r = out.emit(pkt.data(), pkt_size);
+      if (r < 0) return sent;
+      sent += r;
     }
   }
   return sent;
@@ -230,8 +234,9 @@ extern "C" int64_t cbd_cor_send_matrix(
           }
         }
       }
-      if (!out.emit(pkt.data(), pkt_size)) return sent;
-      sent++;
+      int r = out.emit(pkt.data(), pkt_size);
+      if (r < 0) return sent;
+      sent += r;
     }
   }
   return sent;
