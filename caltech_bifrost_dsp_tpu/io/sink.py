@@ -501,13 +501,26 @@ class TriggeredDump:
             buf[8:8 + len(hdr_json)] = hdr_json
             buf[8 + len(hdr_json):self.HEADER_BLOCK] = \
                 b"\x00" * (self.HEADER_BLOCK - 8 - len(hdr_json))
-            os.write(fd, mv[:self.HEADER_BLOCK])
+
+            def write_all(view):
+                # a short write (signal, ENOSPC) must not be reported as
+                # success; retry the remainder — if the retry offset
+                # breaks O_DIRECT alignment the kernel raises EINVAL and
+                # the caller falls back to the buffered path
+                done = 0
+                while done < len(view):
+                    n = os.write(fd, view[done:])
+                    if n <= 0:
+                        raise OSError("short write to %s" % fname)
+                    done += n
+
+            write_all(mv[:self.HEADER_BLOCK])
             aligned = len(raw) // 4096 * 4096
             off = 0
             while off < aligned:
                 n = min(chunk_n, aligned - off)
                 buf[:n] = raw[off:off + n]
-                os.write(fd, mv[:n])
+                write_all(mv[:n])
                 off += n
             os.close(fd)
             fd = -1

@@ -180,6 +180,7 @@ class OutputCommandBlock(CommandBlock):
             # functional here — "" disables, else a directory path
             self.define_command_key("write_autos", type=str,
                                     initial_val="")
+        self._dest_fh = None
 
     def apply_pending(self):
         if not self.update_pending:
@@ -194,8 +195,17 @@ class OutputCommandBlock(CommandBlock):
         dest_file = self.command_vals["dest_file"]
         from ..io.sink import Throttle, UdpSender
 
+        if self._dest_fh is not None:
+            # retarget/disable: release the previous dest_file handle
+            # (repeated retargets must not accumulate open fds)
+            try:
+                self._dest_fh.close()
+            except OSError:
+                pass
+            self._dest_fh = None
         if dest_file:
             fh = open(dest_file, "ab", buffering=0)
+            self._dest_fh = fh
 
             def send(payload, _fh=fh):
                 _fh.write(payload)

@@ -69,6 +69,11 @@ def main(argv=None) -> int:
     freqs, outs = offline.upchan_beamform_run(
         packed, cfg, sfreq, chan_bw, t_unix=t_unix,
         gulp_ntime=args.gulp, accumulate=args.accumulate)
+    # each output row accumulates one gulp of coarse spectra; the coarse
+    # spectrum period is 1/chan_bw, so the real row cadence is
+    # gulp/chan_bw seconds — NOT 1 s (timestamps and tInt-style attrs
+    # must reflect the actual accumulation span)
+    tstep_s = args.gulp / chan_bw if chan_bw > 0 else 1.0
     if args.full_obs:
         if len(ra) > 1:
             raise SystemExit(
@@ -79,13 +84,13 @@ def main(argv=None) -> int:
         fstep = chan_bw / args.nupchan
         w = FullObservationHDF5Writer(
             args.output.removesuffix(".h5").removesuffix(".hdf5"),
-            ra=ra[0], dec=dec[0], tstart_unix=t_unix, tstep_s=1.0,
+            ra=ra[0], dec=dec[0], tstart_unix=t_unix, tstep_s=tstep_s,
             total_nsamples=args.obs_nsamples or len(outs),
             sfreq_hz=float(freqs[0]), fstep_hz=fstep,
             total_nfreq=len(freqs))
         for i, powers in enumerate(outs):
             # beam 0 intensity row per accumulated spectrum
-            w.write(powers[:1].astype(np.float32), t_unix + i,
+            w.write(powers[:1].astype(np.float32), t_unix + i * tstep_s,
                     float(freqs[0]))
         w.close()
         print(f"wrote {w.filename} ({len(outs)} rows, "
@@ -94,7 +99,7 @@ def main(argv=None) -> int:
     if args.accumulate:
         w = AccumBeamHDF5Writer(args.output, nbeam=len(ra), freqs_hz=freqs)
         for i, powers in enumerate(outs):
-            w.append(powers.astype(np.float32), t_unix + i)
+            w.append(powers.astype(np.float32), t_unix + i * tstep_s)
         w.close()
     else:
         w = BeamHDF5Writer(args.output, nbeam=len(ra), freqs_hz=freqs)

@@ -76,6 +76,33 @@ struct CbdCapture {
   Slot &slot_for(int64_t gulp_id) { return slots[gulp_id % nbuf]; }
 };
 
+// Zero every packet region whose landing bit is unset (bitmap-mode hole
+// fill).  Used at emit time on the consumer's copy and at the
+// mixed-geometry transition on in-flight slots.
+static void zero_holes(const CbdCapture *c, uint8_t *data,
+                       const uint64_t *filled) {
+  int pkn = c->pkt_nchan, pkp = c->pkt_npol;
+  if (!pkn || !pkp) return;
+  uint32_t expected = c->expected_pkts_per_gulp;
+  int pb_n = c->ninput / pkp;
+  int cb_n = c->nchan / pkn;
+  for (uint32_t b = 0; b < expected; b++) {
+    if (filled[b / 64] & (1ull << (b % 64))) continue;
+    uint32_t pol_blk = b % pb_n;
+    uint32_t rest = b / pb_n;
+    uint32_t chan_blk = rest % cb_n;
+    uint32_t t = rest / cb_n;
+    uint8_t *dst = data +
+        ((size_t)t * c->nchan + (size_t)chan_blk * pkn) * c->ninput +
+        (size_t)pol_blk * pkp;
+    if (pkp == c->ninput)
+      memset(dst, 0, (size_t)pkn * pkp);
+    else
+      for (int ch = 0; ch < pkn; ch++)
+        memset(dst + (size_t)ch * c->ninput, 0, pkp);
+  }
+}
+
 static void rx_loop(CbdCapture *c) {
   std::vector<std::vector<uint8_t>> bufs(kBatch,
                                          std::vector<uint8_t>(kMaxPkt));
@@ -117,12 +144,17 @@ static void rx_loop(CbdCapture *c) {
                   (int)h->npol != c->pkt_npol)) {
         c->mixed_geometry = true;  // revert to claim-time zeroing
         // slots claimed under bitmap mode were never zeroed and their
-        // emit-time hole fill is now disabled: scrub them once so
-        // stale bytes from recycled buffers cannot leak out as data
+        // emit-time hole fill is now disabled: zero just the unfilled
+        // packet regions (per each slot's landing bitmap) so stale
+        // bytes cannot leak while already-landed payloads survive
         for (auto &sl : c->slots)
           if (sl.gulp_id >= 0 && !sl.ready)
-            memset(sl.data.data(), 0, sl.data.size());
+            zero_holes(c, sl.data.data(), sl.filled.data());
       }
+      if (!c->mixed_geometry && c->pkt_npol &&
+          (int)h->pol0 % c->pkt_npol != 0)
+        continue;  // would alias another packet's landing bit; dropping
+                   // keeps the bitmap (and hole-zeroing) truthful
       int64_t seq = (int64_t)h->seq;
       // Sequence-break detection: a jump of more than a few gulps starts
       // a new sequence (the reference C engine's discontinuity rule) and
@@ -183,9 +215,17 @@ static void rx_loop(CbdCapture *c) {
         size_t pidx = ((size_t)t * (c->nchan / c->pkt_nchan) +
                        h->chan_block_id) * (c->ninput / c->pkt_npol) +
                       h->pol0 / c->pkt_npol;
-        s.filled[pidx / 64] |= 1ull << (pidx % 64);
+        uint64_t bit = 1ull << (pidx % 64);
+        // duplicates must not advance npkt: readiness is derived from
+        // npkt == expected, and a dup-inflated count would mark an
+        // incomplete gulp ready and skip its hole-zeroing
+        if (!(s.filled[pidx / 64] & bit)) {
+          s.filled[pidx / 64] |= bit;
+          s.npkt++;
+        }
+      } else {
+        s.npkt++;
       }
-      s.npkt++;
       c->npkt.fetch_add(1, std::memory_order_relaxed);
       c->ngood_bytes.fetch_add(payload, std::memory_order_relaxed);
       if (gulp_id > c->highest_gulp) c->highest_gulp = gulp_id;
@@ -272,7 +312,6 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
         std::swap(s.data, c->scratch);
         std::swap(s.filled, c->scratch_filled);
         bool complete = s.ready, mixed = c->mixed_geometry;
-        int pkn = c->pkt_nchan, pkp = c->pkt_npol;
         uint32_t expected = c->expected_pkts_per_gulp;
         s.gulp_id = -1;
         s.npkt = 0;
@@ -280,25 +319,9 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
         c->emit_next++;
         lk.unlock();
         memcpy(out, c->scratch.data(), c->gulp_nbyte);
-        if (!complete && !mixed && expected) {
+        if (!complete && !mixed && expected)
           // zero only the holes, located via the landing bitmap
-          int pb_n = c->ninput / pkp;
-          for (uint32_t b = 0; b < expected; b++) {
-            if (c->scratch_filled[b / 64] & (1ull << (b % 64))) continue;
-            uint32_t pol_blk = b % pb_n;
-            uint32_t rest = b / pb_n;
-            uint32_t chan_blk = rest % (c->nchan / pkn);
-            uint32_t t = rest / (c->nchan / pkn);
-            uint8_t *dst = out +
-                ((size_t)t * c->nchan + (size_t)chan_blk * pkn) *
-                    c->ninput + (size_t)pol_blk * pkp;
-            if (pkp == c->ninput)
-              memset(dst, 0, (size_t)pkn * pkp);
-            else
-              for (int ch = 0; ch < pkn; ch++)
-                memset(dst + (size_t)ch * c->ninput, 0, pkp);
-          }
-        }
+          zero_holes(c, out, c->scratch_filled.data());
         return seq0;
       }
       // slot empty but stream has advanced: a fully-missing gulp

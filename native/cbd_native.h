@@ -43,7 +43,13 @@ int cbd_capture_start(CbdCapture *c);
 /* Copy the next gulp (in arrival order) into out
  * (ntime_gulp*nchan*ninput bytes).  A gulp is released when it is
  * complete or when the writer has advanced past it.  Returns the gulp's
- * first seq number, or -1 on timeout/shutdown. */
+ * first seq number, or -1 on timeout/shutdown.
+ *
+ * SINGLE CONSUMER ONLY: the gulp copy and hole-zeroing happen in a
+ * shared scratch buffer after the internal lock is dropped (so the RX
+ * scatter is never stalled by the 10s-of-MB memcpy); two threads
+ * calling get_gulp on the same engine concurrently race on that
+ * scratch.  Use one consumer thread per engine. */
 int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
                              double timeout_s);
 

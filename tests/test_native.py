@@ -238,3 +238,58 @@ def test_native_cor5c_packetizer_matches_python(tmp_path):
         assert got == want, f"packet {k} differs"
     hdr, _ = pkmod.decode_cor(raw[:pkt_size])
     assert hdr.time_tag == 480 * sps
+
+
+def test_duplicate_packets_do_not_fake_completeness():
+    """Duplicated packets must not inflate the per-gulp packet count:
+    a dup-inflated count would mark an incomplete gulp 'ready' and skip
+    hole-zeroing, leaking stale bytes from a previously emitted gulp
+    recycled into the same slot (advisor finding, capture.cpp bitmap
+    mode)."""
+    import socket
+    import struct
+    import time
+
+    cfg = cfgmod.XEngineConfig(nstand=16, nchan=32, ntime_gulp=12,
+                               acc_len=240, acc_len_slow=480, nbeam=4,
+                               ntime_sum=12, npipeline=2)
+    port = PORT + 23
+    cap = native.NativeCapture(cfg, "127.0.0.1", port, nbuf=2)
+    cap.start()
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    dst = ("127.0.0.1", port)
+    payload_n = cfg.nchan * cfg.ninput  # whole-row packets, 1 pkt/time
+
+    def pkt(seq, fill):
+        hdr = struct.pack("<QIHHHHIII", seq, 0xAABBCCDD, cfg.ninput,
+                          cfg.ninput, cfg.nchan, cfg.nchan, 0, 0, 0)
+        return hdr + bytes([fill]) * payload_n
+
+    def send_full_gulp(gulp_id, fill):
+        for t in range(cfg.ntime_gulp):
+            tx.sendto(pkt(gulp_id * cfg.ntime_gulp + t, fill), dst)
+
+    # three full gulps cycle stale non-zero bytes into slot 0's buffer
+    # (emission swaps buffers with the consumer scratch each time)
+    for g, fill in enumerate((0xAA, 0xBB, 0xCC)):
+        send_full_gulp(g, fill)
+        seq0, _ = cap.get_gulp(timeout_s=5.0)
+        assert seq0 == g * cfg.ntime_gulp
+    # gulp 3 -> slot 1; gulp 4 -> slot 0 (holds stale bytes): send only
+    # t=0, TWICE (a duplicate), never t=1
+    send_full_gulp(3, 0x11)
+    seq0, _ = cap.get_gulp(timeout_s=5.0)
+    assert seq0 == 3 * cfg.ntime_gulp
+    tx.sendto(pkt(4 * cfg.ntime_gulp, 0xDD), dst)
+    tx.sendto(pkt(4 * cfg.ntime_gulp, 0xDD), dst)
+    time.sleep(0.05)
+    # advance the stream so the lossy gulp 4 is released (lead = 1)
+    send_full_gulp(5, 0xEE)
+    seq0, data = cap.get_gulp(timeout_s=5.0)
+    assert seq0 == 4 * cfg.ntime_gulp
+    assert (data[0] == 0xDD).all()       # the landed packet
+    assert (data[1:] == 0).all()         # holes zeroed, NOT stale 0xBB/0xCC
+    stats = cap.stats()
+    assert stats["nmissing"] >= cfg.ntime_gulp - 1  # the never-sent times
+    tx.close()
+    cap.close()

@@ -122,3 +122,34 @@ def test_write_autos_control(tmp_path):
     want = np.real(dense[:, 0, 0])
     np.testing.assert_allclose(autos[0, 0], want)
     assert (autos >= 0).all()  # autocorrelations are non-negative
+
+
+def test_dest_file_retarget_closes_previous_handle(tmp_path):
+    """Repeated dest_file retargets must not accumulate open fds
+    (each retarget closes the prior handle)."""
+    import json
+
+    from caltech_bifrost_dsp_tpu.runtime.driver import OutputCommandBlock
+
+    store = MemoryStore()
+    out = sink.CorrFullOutput(CFG, send=None)
+    blk = OutputCommandBlock("CorrOutputFull", out, store=store)
+    handles = []
+    for i in range(4):
+        store.put(blk.command_key, json.dumps(
+            {"id": str(i), "cmd": "update",
+             "val": {"kwargs": {"dest_file": str(tmp_path / f"o{i}.dat")}}}))
+        blk.apply_pending()
+        assert blk._dest_fh is not None and not blk._dest_fh.closed
+        handles.append(blk._dest_fh)
+    # every handle but the live one is closed
+    assert [fh.closed for fh in handles] == [True, True, True, False]
+    out.send(b"x")
+    # disabling releases the last handle too
+    store.put(blk.command_key, json.dumps(
+        {"id": "z", "cmd": "update",
+         "val": {"kwargs": {"dest_file": "", "dest_ip": "0.0.0.0"}}}))
+    blk.apply_pending()
+    assert handles[-1].closed
+    assert out.send is None
+    assert (tmp_path / "o3.dat").read_bytes() == b"x"
