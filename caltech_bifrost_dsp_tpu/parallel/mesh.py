@@ -464,6 +464,76 @@ def corr_stand_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     return fn
 
 
+def collective_volumes(cfg: XEngineConfig, n_time: int, n_chan: int,
+                       gulp_spectra: int | None = None,
+                       window_spectra: int | None = None,
+                       want_vlbi: bool = True) -> dict:
+    """Analytic per-collective traffic accounting for the sharded FX
+    step (:func:`fx_sharded_state_fn`) at a given mesh shape.
+
+    Counts bytes that actually cross a device boundary (ICI on a TPU
+    slice; DCN if the axis spans hosts) per *gulp* (one step call) and
+    per *fast window* (``acc_len`` spectra = ``acc_len/ntime_gulp``
+    calls), plus the per-device send rate required to run in real time
+    (window period = ``acc_len / spectra_rate``).
+
+    Formulas (D = n_time*n_chan devices, L = 2*nchan frame,
+    h = ntap-1 halo frames, G = gulp spectra, G_loc = G/n_time,
+    nin_loc = ninput/n_chan, nchan_loc = nchan/n_chan):
+
+    - ``ppermute`` halo ('time' axis): every device sends its trailing
+      h*L x nin_loc f32 samples once per gulp.
+    - ``all_to_all`` F->X corner-turn ('chan' axis): each device's
+      packed 4+4-bit slab [nin_loc, G_loc, nchan] moves
+      (n_chan-1)/n_chan of itself off-device (the quantize-first design
+      makes this 8x cheaper than corner-turning f32 spectra).
+    - ``psum`` visibilities ('time' axis): ring all-reduce of the two
+      int32 planes [nchan_loc, ninput, ninput] sends
+      2*(n_time-1)/n_time of the operand per device per gulp.
+    - ``all_gather`` VLBI voltages ('chan' axis): each device sends its
+      [G_loc, nchan_loc, 2, 2] f32 shard to the other n_chan-1 ranks.
+    """
+    gulp = gulp_spectra or cfg.ntime_gulp
+    window = window_spectra or cfg.acc_len
+    D = n_time * n_chan
+    L = 2 * cfg.nchan
+    h = cfg.pfb_ntap - 1
+    nin_loc = cfg.ninput // n_chan
+    nchan_loc = cfg.nchan // n_chan
+    g_loc = gulp // n_time
+    gulps_per_window = window // gulp
+    window_s = window / cfg.chan_bw_hz  # spectra rate = chan_bw (fs/8192)
+
+    def entry(name, axis, active, bytes_sent_per_dev):
+        per_dev = int(bytes_sent_per_dev) if active else 0
+        return {
+            "collective": name, "mesh_axis": axis,
+            "per_device_bytes_per_gulp": per_dev,
+            "total_bytes_per_gulp": per_dev * D,
+            "total_bytes_per_window": per_dev * D * gulps_per_window,
+            "per_device_gbps_realtime":
+                per_dev * gulps_per_window * 8 / window_s / 1e9,
+        }
+
+    vis_plane_dev = 2 * nchan_loc * cfg.ninput * cfg.ninput * 4
+    vols = [
+        entry("ppermute_halo", "time", n_time > 1 and h > 0,
+              h * L * nin_loc * 4),
+        entry("all_to_all_corner_turn", "chan", n_chan > 1,
+              nin_loc * g_loc * cfg.nchan * (n_chan - 1) / n_chan),
+        entry("psum_visibilities", "time", n_time > 1,
+              vis_plane_dev * 2 * (n_time - 1) / n_time),
+        entry("all_gather_vlbi", "chan", want_vlbi and n_chan > 1,
+              g_loc * nchan_loc * 2 * 2 * 4 * (n_chan - 1)),
+    ]
+    total_dev_gbps = sum(v["per_device_gbps_realtime"] for v in vols)
+    return {"mesh": {"time": n_time, "chan": n_chan, "devices": D},
+            "gulp_spectra": gulp, "window_spectra": window,
+            "window_seconds": window_s,
+            "collectives": vols,
+            "per_device_gbps_realtime_total": total_dev_gbps}
+
+
 def fx_reference_unsharded(cfg: XEngineConfig, adc, window, gains, pairs,
                            quant_scale, n_time_shards: int = 1):
     """Single-device reference of the sharded program, reproducing the
