@@ -215,22 +215,32 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
 def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
                    pairs, n_chan_shards, fast_first, fast_last,
                    slow_first, want_power, want_vlbi):
-    """Shared per-shard tail of the stateful sharded steps: psum'd
-    correlation, fast/slow accumulation (static boundary flags), subsel
-    and the optional beam products (VLBI chan-gathered)."""
+    """Shared per-shard tail of the stateful sharded steps.
+
+    The fast accumulator is carried as *per-time-shard partial sums*
+    (leading local time axis of size 1), so mid-window gulps touch **no
+    collective at all** for the visibilities: the ``psum`` over the
+    'time' axis happens once per fast window, at the dump gulp —
+    ``acc_len/ntime_gulp``x less ICI traffic than reducing every gulp
+    (the dominant collective at production shape; see SCALING.md).
+    Subselection likewise only exists at the dump (the reference's
+    CorrSubsel consumes Corr *dumps*, corr_subsel_block.py:298), and the
+    slow accumulator — updated from the psum'd full window — stays
+    identical on every time shard.
+    """
     vis_part = corr.correlate_gulp(packed)
-    vis_gulp = Vis(jax.lax.psum(vis_part.real, "time"),
-                   jax.lax.psum(vis_part.imag, "time"))
-    fast = vis_gulp if fast_first else Vis(fr + vis_gulp.real,
-                                           fi + vis_gulp.imag)
+    part = vis_part if fast_first else Vis(fr[0] + vis_part.real,
+                                           fi[0] + vis_part.imag)
+    out = [part.real[None], part.imag[None]]
     if fast_last:
-        slow = fast if slow_first else Vis(sr + fast.real,
-                                           si + fast.imag)
+        vis = Vis(jax.lax.psum(part.real, "time"),
+                  jax.lax.psum(part.imag, "time"))
+        slow = vis if slow_first else Vis(sr + vis.real, si + vis.imag)
+        subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+        out += [slow.real, slow.imag, vis.real, vis.imag,
+                subsel.real, subsel.imag]
     else:
-        slow = Vis(sr, si)
-    subsel = cs.corr_subsel(fast, pairs, cfg.nchan_sum)
-    out = [fast.real, fast.imag, slow.real, slow.imag,
-           subsel.real, subsel.imag]
+        out += [sr, si]
     if want_power or want_vlbi:
         beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
         if want_power:
@@ -246,10 +256,12 @@ def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
     return tuple(out)
 
 
-def _state_out_specs(want_power, want_vlbi):
+def _state_out_specs(fast_last, want_power, want_vlbi):
     vis_spec = P("chan", None, None)
-    out_specs = [vis_spec, vis_spec, vis_spec, vis_spec,
-                 P("chan", None), P("chan", None)]
+    part_spec = P("time", "chan", None, None)
+    out_specs = [part_spec, part_spec, vis_spec, vis_spec]
+    if fast_last:
+        out_specs += [vis_spec, vis_spec, P("chan", None), P("chan", None)]
     if want_power:
         out_specs.append(P(None, "time", "chan", None))
     if want_vlbi:
@@ -257,13 +269,31 @@ def _state_out_specs(want_power, want_vlbi):
     return tuple(out_specs)
 
 
-def _state_unpack(res, want_power, want_vlbi):
-    fr, fi, sr, si, subr, subi = res[:6]
-    rest = list(res[6:])
+def _state_unpack(res, fast_last, want_power, want_vlbi):
+    fr, fi, sr, si = res[:4]
+    rest = list(res[4:])
+    if fast_last:
+        vr, vi, subr, subi = rest[:4]
+        rest = rest[4:]
+        vis, subsel = Vis(vr, vi), Vis(subr, subi)
+    else:
+        vis = subsel = None
     power = rest.pop(0) if want_power else None
     vlbi = rest.pop(0) if want_vlbi else None
     return ((Vis(fr, fi), Vis(sr, si)),
-            FxOutputs(Vis(fr, fi), Vis(subr, subi), power), vlbi)
+            FxOutputs(vis, subsel, power), vlbi)
+
+
+def zero_sharded_state(cfg: XEngineConfig, mesh: Mesh):
+    """Initial accumulator state for the stateful sharded steps: fast
+    per-time-shard partials [n_time, nchan, ninput, ninput] plus the
+    replicated slow planes [nchan, ninput, ninput]."""
+    n_time = mesh.shape["time"]
+    fast = Vis(jnp.zeros((n_time, cfg.nchan, cfg.ninput, cfg.ninput),
+                         jnp.int32),
+               jnp.zeros((n_time, cfg.nchan, cfg.ninput, cfg.ninput),
+                         jnp.int32))
+    return (fast, corr.zero_vis(cfg.nchan, cfg.ninput))
 
 
 def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
@@ -273,15 +303,18 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
     """Stateful sharded fused step: the multi-chip analog of
     ``models.xengine.xengine_step``.
 
-    Accumulator state (fast/slow Vis) lives chan-sharded on the mesh and
-    never moves; per-gulp partial visibilities psum over the 'time' axis
-    before accumulation.  Boundary flags are baked per-variant (the host
+    Accumulator state lives on the mesh and never moves: the fast
+    accumulator as per-time-shard partials [n_time, nchan, ninput,
+    ninput] (``zero_sharded_state``), the slow planes chan-sharded and
+    time-replicated.  Mid-window gulps are collective-free for the
+    visibilities; the 'time'-axis ``psum`` fires once per fast window at
+    the dump gulp.  Boundary flags are baked per-variant (the host
     driver selects the jitted variant, exactly like the single-chip
     static-flag specialization).
 
-    Global shapes: state planes [nchan, ninput, ninput] (chan-sharded);
-    packed [ntime, nchan, ninput] ([time, chan]-sharded); gains
-    chan-sharded; outputs as in FxOutputs plus the new state.
+    Global shapes: packed [ntime, nchan, ninput] ([time, chan]-sharded);
+    gains chan-sharded; outputs as in FxOutputs (vis/subsel present only
+    on dump variants) plus the new state.
     """
     n_chan_shards = mesh.shape["chan"]
 
@@ -292,19 +325,20 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                               want_vlbi)
 
     vis_spec = P("chan", None, None)
+    part_spec = P("time", "chan", None, None)
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
+        in_specs=(part_spec, part_spec, vis_spec, vis_spec,
                   P("time", "chan", None),
                   P("chan", None, None), P("chan", None, None), P()),
-        out_specs=_state_out_specs(want_power, want_vlbi),
+        out_specs=_state_out_specs(fast_last, want_power, want_vlbi),
         check_vma=False)
 
     def fn(state, packed, gains: bf.BeamGains, pairs):
         res = mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             packed, gains.real, gains.imag, pairs)
-        return _state_unpack(res, want_power, want_vlbi)
+        return _state_unpack(res, fast_last, want_power, want_vlbi)
 
     return fn
 
@@ -385,15 +419,16 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                               want_vlbi)
 
     vis_spec = P("chan", None, None)
+    part_spec = P("time", "chan", None, None)
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(vis_spec, vis_spec, vis_spec, vis_spec,
+        in_specs=(part_spec, part_spec, vis_spec, vis_spec,
                   P("time", "chan"),       # adc
                   P(None, "chan"),         # carry tail (input-sharded)
                   P(),                     # window
                   P("chan", None, None), P("chan", None, None),
                   P(), P()),
-        out_specs=_state_out_specs(want_power, want_vlbi),
+        out_specs=_state_out_specs(fast_last, want_power, want_vlbi),
         check_vma=False)
 
     def fn(state, adc, carry_tail, window, quant_scale,
@@ -402,7 +437,7 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             adc, carry_tail, window, gains.real, gains.imag, pairs,
             quant_scale)
-        return _state_unpack(res, want_power, want_vlbi)
+        return _state_unpack(res, fast_last, want_power, want_vlbi)
 
     return fn
 
@@ -489,7 +524,9 @@ def collective_volumes(cfg: XEngineConfig, n_time: int, n_chan: int,
       makes this 8x cheaper than corner-turning f32 spectra).
     - ``psum`` visibilities ('time' axis): ring all-reduce of the two
       int32 planes [nchan_loc, ninput, ninput] sends
-      2*(n_time-1)/n_time of the operand per device per gulp.
+      2*(n_time-1)/n_time of the operand per device — once per FAST
+      WINDOW, not per gulp: mid-window gulps accumulate per-time-shard
+      partials with no collective (``_state_xb_tail``).
     - ``all_gather`` VLBI voltages ('chan' axis): each device sends its
       [G_loc, nchan_loc, 2, 2] f32 shard to the other n_chan-1 ranks.
     """
@@ -504,15 +541,16 @@ def collective_volumes(cfg: XEngineConfig, n_time: int, n_chan: int,
     gulps_per_window = window // gulp
     window_s = window / cfg.chan_bw_hz  # spectra rate = chan_bw (fs/8192)
 
-    def entry(name, axis, active, bytes_sent_per_dev):
+    def entry(name, axis, active, bytes_sent_per_dev, period_gulps=1):
         per_dev = int(bytes_sent_per_dev) if active else 0
+        fires_per_window = gulps_per_window // period_gulps
         return {
             "collective": name, "mesh_axis": axis,
-            "per_device_bytes_per_gulp": per_dev,
-            "total_bytes_per_gulp": per_dev * D,
-            "total_bytes_per_window": per_dev * D * gulps_per_window,
+            "per_device_bytes_per_fire": per_dev,
+            "fires_per_window": fires_per_window,
+            "total_bytes_per_window": per_dev * D * fires_per_window,
             "per_device_gbps_realtime":
-                per_dev * gulps_per_window * 8 / window_s / 1e9,
+                per_dev * fires_per_window * 8 / window_s / 1e9,
         }
 
     vis_plane_dev = 2 * nchan_loc * cfg.ninput * cfg.ninput * 4
@@ -521,8 +559,11 @@ def collective_volumes(cfg: XEngineConfig, n_time: int, n_chan: int,
               h * L * nin_loc * 4),
         entry("all_to_all_corner_turn", "chan", n_chan > 1,
               nin_loc * g_loc * cfg.nchan * (n_chan - 1) / n_chan),
+        # per-time-shard partial accumulation: the vis all-reduce fires
+        # once per fast window (the dump gulp), not per gulp
         entry("psum_visibilities", "time", n_time > 1,
-              vis_plane_dev * 2 * (n_time - 1) / n_time),
+              vis_plane_dev * 2 * (n_time - 1) / n_time,
+              period_gulps=gulps_per_window),
         entry("all_gather_vlbi", "chan", want_vlbi and n_chan > 1,
               g_loc * nchan_loc * 2 * 2 * 4 * (n_chan - 1)),
     ]

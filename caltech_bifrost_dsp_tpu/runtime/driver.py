@@ -394,7 +394,17 @@ class XEnginePipeline:
         # are built lazily per boundary combination.
         self.mesh = mesh
         self._mesh_steps: dict = {}
-        self.state = xengine.init_state(cfg)
+        if mesh is not None:
+            # fast accumulator = per-time-shard partials (mesh.py
+            # zero_sharded_state); the full matrix appears only in dump
+            # outputs, after the once-per-window psum
+            from ..parallel import mesh as pmesh
+
+            self.state = xengine.XEngineState(
+                *pmesh.zero_sharded_state(cfg, mesh))
+            self._last_mesh_vis = None
+        else:
+            self.state = xengine.init_state(cfg)
         self._stop = threading.Event()
         self.perf_compute = PerfTimer(self.corr_cmd.perf_proclog)
         self.ndump_fast = 0
@@ -468,6 +478,8 @@ class XEnginePipeline:
                         self._window, jnp.float32(self.quant_scale),
                         gains_dev, self.subsel_cmd.pairs_device)
                     self.state = xengine.XEngineState(st[0], st[1])
+                if out.vis is not None:
+                    self._last_mesh_vis = out.vis
                 return xengine.XEngineOutputs(out.subsel, out.bf_power,
                                               vlbi)
             if key not in self._mesh_steps:
@@ -481,6 +493,8 @@ class XEnginePipeline:
                     st, jnp.asarray(block), gains_dev,
                     self.subsel_cmd.pairs_device)
                 self.state = xengine.XEngineState(st[0], st[1])
+            if out.vis is not None:
+                self._last_mesh_vis = out.vis
             return xengine.XEngineOutputs(out.subsel, out.bf_power, vlbi)
         if self.fx_mode:
             adc = block.reshape(-1, cfg.ninput)
@@ -539,8 +553,13 @@ class XEnginePipeline:
         self._selftest_acc = (ref if is_first
                               else self._selftest_acc + ref)
         if is_dump:
-            got = correlate.vis_to_numpy_complex(
-                xengine.dense_vis(self.state.vis_fast, self.cfg))
+            if self.mesh is not None:
+                # mesh path: the full matrix only exists in the dump
+                # output (fast state holds per-time-shard partials)
+                fast = self._last_mesh_vis
+            else:
+                fast = xengine.dense_vis(self.state.vis_fast, self.cfg)
+            got = correlate.vis_to_numpy_complex(fast)
             ok = _golden.check_vis_against_golden(got, self._selftest_acc)
             self.selftest_count += 1
             if not ok:

@@ -1,12 +1,20 @@
 """Ingest benchmark: sustained capture -> gulp-assembly rate at the
 production operating point, against the reference's real-time bar.
 
-The reference sustains 25.9 Gb/s/pipeline with IB-Verbs kernel bypass
-(reference: pipeline/lwa352_pipeline/blocks/capture_block.py:180-189).
-This bench drives the native C++ capture engine (recvmmsg + bitmap
-hole-zeroing + forced-deep kernel buffer) with the native paced blaster
-over loopback at the target rate and reports the loss-free sustained
-rate through full gulp reassembly (the capture -> staging contract).
+The reference sustains 25.9 Gb/s/pipeline with IB-Verbs kernel bypass,
+and a production server runs FOUR capture pipelines (~104 Gb/s/host)
+(reference: pipeline/lwa352_pipeline/blocks/capture_block.py:180-189,
+pipeline-control/lwa352_pipeline_control/lwa352_xeng_etcd_client.py:16-26).
+This bench drives N native C++ capture engines (one RX thread each, one
+UDP port each — the per-pipeline-port layout of the reference server)
+with N native paced blasters over loopback and reports the aggregate
+loss-free sustained rate through full gulp reassembly (the capture ->
+staging contract).
+
+``--engines N`` scales the fan-out toward the chip's ~4.6-pipeline
+compute margin; on a shared-core host the ceiling is the core count
+(each engine needs ~1 RX + 1 consumer thread, and each blaster burns a
+core), which the JSON reports alongside the rate.
 
 Optionally (--h2d) extends the path with a device upload per gulp to
 measure capture -> device feeding; on a tunneled TPU this measures the
@@ -17,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -24,13 +33,63 @@ import time
 import numpy as np
 
 
+def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
+                dev_put=None) -> dict:
+    """Drive one capture+blaster+consumer trio per port; returns
+    aggregate stats.  Loss-free means nmissing == 0 across all engines."""
+    from ..io import native
+
+    caps = [native.NativeCapture(cfg, "127.0.0.1", p, nbuf=16)
+            for p in ports]
+    for c in caps:
+        c.start()
+    got = [0] * len(ports)
+
+    def tx(port):
+        for g in range(ngulp):
+            native.transmit_gulp(
+                "127.0.0.1", port, data, seq0=g * cfg.ntime_gulp,
+                nchan_per_pkt=64, npol_per_pkt=cfg.ninput,
+                delay_ns=delay_ns)
+
+    def consume(i):
+        while got[i] < ngulp:
+            seq0, gulp = caps[i].get_gulp(timeout_s=3.0)
+            if seq0 is None:
+                break
+            if dev_put is not None:
+                dev_put(gulp)
+            got[i] += 1
+
+    t0 = time.perf_counter()
+    txs = [threading.Thread(target=tx, args=(p,)) for p in ports]
+    rxs = [threading.Thread(target=consume, args=(i,))
+           for i in range(len(ports))]
+    for t in txs + rxs:
+        t.start()
+    for t in txs + rxs:
+        t.join()
+    dt = time.perf_counter() - t0
+
+    stats = [c.stats() for c in caps]
+    for c in caps:
+        c.close()
+    nmissing = sum(s["nmissing"] for s in stats)
+    npkt = sum(s["npkt"] for s in stats)
+    return {"dt": dt, "ngot": sum(got), "nmissing": nmissing,
+            "npkt": npkt, "per_engine_gulps": got}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="ingest benchmark")
     p.add_argument("--ngulp", type=int, default=100)
+    p.add_argument("--engines", type=int, default=1,
+                   help="parallel capture engines (one port + RX thread "
+                        "each; the reference runs 4 per server)")
     p.add_argument("--delay-ns", type=int, default=580_000,
-                   help="TX burst pacing; 668000 offers ~25.9 Gb/s (the "
-                        "reference real-time bar) at the production "
-                        "packet geometry")
+                   help="TX burst pacing per engine; 668000 offers "
+                        "~25.9 Gb/s (the reference real-time bar) at the "
+                        "production packet geometry")
     p.add_argument("--port", type=int, default=19757)
     p.add_argument("--h2d", action="store_true",
                    help="also device_put each gulp (measures the "
@@ -38,15 +97,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from ..config import XEngineConfig
-    from ..io import native
 
     cfg = XEngineConfig(nstand=352, nchan=192, ntime_gulp=480)
-    cap = native.NativeCapture(cfg, "127.0.0.1", args.port, nbuf=16)
-    cap.start()
     rng = np.random.RandomState(1)
     data = rng.randint(0, 256, [cfg.ntime_gulp, cfg.nchan, cfg.ninput]) \
         .astype(np.uint8)
-    ngulp = args.ngulp
 
     dev_put = None
     if args.h2d:
@@ -56,39 +111,21 @@ def main(argv=None) -> int:
         def dev_put(g):
             return jax.block_until_ready(jnp.asarray(g))
 
-    def tx():
-        for g in range(ngulp):
-            native.transmit_gulp(
-                "127.0.0.1", args.port, data, seq0=g * cfg.ntime_gulp,
-                nchan_per_pkt=64, npol_per_pkt=cfg.ninput,
-                delay_ns=args.delay_ns)
+    ports = [args.port + i for i in range(args.engines)]
+    r = run_engines(cfg, ports, data, args.ngulp, args.delay_ns, dev_put)
 
-    t0 = time.perf_counter()
-    th = threading.Thread(target=tx)
-    th.start()
-    ngot = 0
-    while ngot < ngulp:
-        seq0, gulp = cap.get_gulp(timeout_s=3.0)
-        if seq0 is None:
-            break
-        if dev_put is not None:
-            dev_put(gulp)
-        ngot += 1
-    th.join()
-    dt = time.perf_counter() - t0
-    stats = cap.stats()
-    cap.close()
-
-    total_pkts = max(stats["npkt"] + stats["nmissing"], 1)
-    gbps = 8 * ngot * data.nbytes / dt / 1e9
+    total_pkts = max(r["npkt"] + r["nmissing"], 1)
+    gbps = 8 * r["ngot"] * data.nbytes / r["dt"] / 1e9
     print(json.dumps({
         "metric": "ingest_h2d_rate" if args.h2d else
                   "ingest_sustained_rate",
         "value": round(gbps, 2),
         "unit": "Gb/s",
         "vs_baseline": round(gbps / 25.9, 3),
-        "gulps": ngot,
-        "loss_fraction": round(stats["nmissing"] / total_pkts, 5),
+        "engines": args.engines,
+        "host_cores": os.cpu_count(),
+        "gulps": r["ngot"],
+        "loss_fraction": round(r["nmissing"] / total_pkts, 5),
     }))
     return 0
 

@@ -1,14 +1,35 @@
 """Scaling-efficiency benchmark harness.
 
-Measures the sharded FX+B program (PFB -> corner-turn -> correlate ->
-beamform) at 1, 2, ... N devices on the current platform and reports
-Msamples/s/chip and scaling efficiency — the BASELINE.json metric
+Measures the sharded FX+B program (PFB -> halo exchange -> corner-turn
+-> correlate -> beamform) at 1, 2, ... N devices and reports
+Msamples/s/chip plus scaling efficiency — the BASELINE.json metric
 ("Msamples/s/chip through PFB+corr; N-host scaling eff.").
 
-On a real TPU slice this measures ICI-collective scaling; on the CPU
-backend (``--cpu N``) it validates the harness and the collective paths
-functionally.  Timing is queue-safe: K program invocations are chained by
-a data dependency and a scalar is fetched once.
+**Strong scaling, fixed problem**: every mesh size runs the *same*
+problem (same config, same spectra count), so the collective and
+partition overhead is isolated from problem-size effects.
+
+**Compute normalization on virtual CPU meshes** (``--cpu N``): N virtual
+devices share the host's physical cores, so the *aggregate* compute
+budget is constant across mesh sizes.  Under strong scaling the ideal
+aggregate throughput is therefore flat, and
+
+    constant_compute_efficiency(n) = aggregate_tput(n) / aggregate_tput(1)
+
+directly measures the fraction of throughput retained after sharding —
+i.e. the cost of the halo ppermute, corner-turn all_to_all, psum and
+partition bookkeeping at a constant compute budget.  On a real TPU slice
+(per-device compute actually scales with n) the per-chip efficiency
+``msamples_per_s_per_chip(n) / msamples_per_s_per_chip(1)`` is the
+headline number instead; both are reported.
+
+Each result row also carries the analytic per-collective traffic from
+:func:`..parallel.mesh.collective_volumes` so measured overhead can be
+attributed to wire bytes (see SCALING.md for the ICI/DCN budget model).
+
+Timing is queue-safe: K invocations are chained by a data dependency and
+a device-side scalar is fetched once (reference perf taxonomy:
+corr_block.py:453-457 `process_time`/`gbps`).
 """
 
 from __future__ import annotations
@@ -59,11 +80,18 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="FX scaling benchmark")
     p.add_argument("--cpu", type=int, default=0,
                    help="force CPU with N virtual devices")
-    p.add_argument("--nspec", type=int, default=0,
-                   help="spectra per invocation (default: sized to mesh)")
+    p.add_argument("--nspec", type=int, default=96,
+                   help="spectra per invocation (fixed across mesh sizes)")
     p.add_argument("--niter", type=int, default=5)
     p.add_argument("--nstand", type=int, default=64)
     p.add_argument("--nchan", type=int, default=128)
+    p.add_argument("--production", action="store_true",
+                   help="run the full production operating point "
+                        "(352 stands, 192 chan, 480-spectra gulp — the "
+                        "reference's fixed shape, install_xgpu.sh:5)")
+    p.add_argument("--meshes", default="",
+                   help="explicit TxC mesh list, e.g. '1x1,1x8,2x4' "
+                        "(default: powers of 2 with time<=2)")
     args = p.parse_args(argv)
 
     import os
@@ -73,6 +101,7 @@ def main(argv=None) -> int:
                                    + f" --xla_force_host_platform_device_"
                                      f"count={args.cpu}")
         os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
 
     if args.cpu:
@@ -81,41 +110,71 @@ def main(argv=None) -> int:
         except RuntimeError:
             pass
 
-    from ..config import XEngineConfig
+    from ..config import LWA352, XEngineConfig
     from ..parallel import mesh as pmesh
+
+    if args.production:
+        cfg = LWA352
+        nspec = 480  # one production gulp (GSIZE, lwa352-pipeline.py:171)
+    else:
+        cfg = XEngineConfig(
+            nstand=args.nstand, nchan=args.nchan,
+            ntime_gulp=48, acc_len=96, acc_len_slow=192, nbeam=8,
+            ntime_sum=12, nchan_sum=4, npipeline=2, pfb_ntap=4)
+        nspec = args.nspec
 
     ndev = len(jax.devices())
     results = {}
-    n = 1
-    sizes = []
-    while n <= ndev:
-        sizes.append(n)
-        n *= 2
-    for n in sizes:
-        n_time = 2 if n % 2 == 0 else 1
-        n_chan = n // n_time
-        cfg = XEngineConfig(
-            nstand=args.nstand, nchan=max(args.nchan, 16 * n_chan),
-            ntime_gulp=48, acc_len=96, acc_len_slow=192, nbeam=8,
-            ntime_sum=12, nchan_sum=4, npipeline=2, pfb_ntap=4)
-        nspec = args.nspec or (4 * n_time * cfg.ntime_sum)
+    if args.meshes:
+        shapes = [tuple(int(v) for v in m.split("x"))
+                  for m in args.meshes.split(",")]
+    else:
+        shapes, n = [], 1
+        while n <= ndev:
+            shapes.append((2 if n % 2 == 0 else 1,
+                           n // (2 if n % 2 == 0 else 1)))
+            n *= 2
+    for n_time, n_chan in shapes:
+        n = n_time * n_chan
+        if n > ndev:
+            print(f"{n_time}x{n_chan}: needs {n} devices, skipped",
+                  file=sys.stderr)
+            continue
+        if cfg.nchan % n_chan or cfg.ninput % n_chan or nspec % n_time:
+            print(f"n={n}: shape not divisible, skipped", file=sys.stderr)
+            continue
         mesh = pmesh.make_mesh(n_time, n_chan,
                                devices=jax.devices()[:n])
         dt = measure(cfg, mesh, nspec, args.niter)
         samples = nspec * cfg.nchan * cfg.ninput
-        results[n] = {"sec_per_call": dt,
-                      "msamples_per_s": samples / dt / 1e6,
-                      "msamples_per_s_per_chip": samples / dt / 1e6 / n}
-        print(f"n={n}: {dt*1e3:.1f} ms/call, "
-              f"{results[n]['msamples_per_s']:.1f} Msamples/s "
-              f"({results[n]['msamples_per_s_per_chip']:.1f}/chip)",
+        vols = pmesh.collective_volumes(cfg, n_time, n_chan,
+                                        gulp_spectra=nspec)
+        key = f"{n_time}x{n_chan}"
+        results[key] = {"n": n, "sec_per_call": dt,
+                        "msamples_per_s": samples / dt / 1e6,
+                        "msamples_per_s_per_chip": samples / dt / 1e6 / n,
+                        "collective_bytes_per_device_per_call": {
+                            v["collective"]: v["per_device_bytes_per_gulp"]
+                            for v in vols["collectives"]}}
+        print(f"n={n} ({key}): {dt*1e3:.1f} ms/call, "
+              f"{results[key]['msamples_per_s']:.1f} Msamples/s "
+              f"({results[key]['msamples_per_s_per_chip']:.1f}/chip)",
               file=sys.stderr)
-    base = results[sizes[0]]["msamples_per_s_per_chip"]
-    out = {"metric": "fx_scaling",
-           "devices": {str(n): results[n] for n in sizes},
-           "scaling_efficiency": {
-               str(n): results[n]["msamples_per_s_per_chip"] / base
-               for n in sizes}}
+    done = sorted(results, key=lambda k: (results[k]["n"], k))
+    base = results[done[0]]
+    out = {"metric": "fx_scaling_strong",
+           "platform": jax.devices()[0].platform,
+           "shape": {"nstand": cfg.nstand, "nchan": cfg.nchan,
+                     "nspec": nspec, "production": bool(args.production)},
+           "devices": {k: results[k] for k in done},
+           "per_chip_efficiency": {
+               k: (results[k]["msamples_per_s_per_chip"]
+                   / base["msamples_per_s_per_chip"])
+               for k in done},
+           "constant_compute_efficiency": {
+               k: (results[k]["msamples_per_s"]
+                   / base["msamples_per_s"])
+               for k in done}}
     print(json.dumps(out))
     return 0
 

@@ -1,0 +1,201 @@
+"""Per-stage speed-of-light benchmark at the production operating point.
+
+Times each pipeline stage in isolation — fused Pallas PFB (bf16 and
+high precision), the windowed correlator, the beamformer + power
+integration, baseline subselection, and the slow accumulate — at the
+full LWA-352 shape (2400 spectra x 192 chan x 704 inputs, the
+reference's fixed operating point, reference: install_xgpu.sh:5), and
+compares each against its analytic roofline on the measured chip
+(MXU peak and HBM bandwidth), naming the binding resource.
+
+Methodology per stage: compile + settle, measure single-call
+dispatch+probe overhead, then chain ``niter`` enqueued calls and fetch a
+device-side scalar once (the axon tunnel does not fence on
+block_until_ready; in-order device execution makes the final fetch a
+barrier for the whole chain).
+
+Prints a JSON document with measured ms, roofline ms, efficiency, and
+the binding resource per stage.  Nominal peaks default to TPU v5e
+(197 TFLOP/s bf16, 819 GB/s HBM) and can be overridden with
+``--tflops/--hbm``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def _time_stage(fn, args, probe, niter: int) -> float:
+    """Seconds per call, overhead-subtracted, probe-fenced."""
+    def fetch(out):
+        return float(np.asarray(jax.device_get(probe(out))))
+
+    out = fn(*args)
+    fetch(out)  # compile + settle
+    t0 = time.perf_counter()
+    fetch(fn(*args))
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(niter):
+        out = fn(*args)
+    fetch(out)
+    return max((time.perf_counter() - t0 - overhead) / max(niter - 1, 1),
+               1e-9)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="per-stage SOL benchmark")
+    p.add_argument("--niter", type=int, default=12)
+    p.add_argument("--tflops", type=float, default=197.0,
+                   help="chip bf16 MXU peak, TFLOP/s")
+    p.add_argument("--hbm", type=float, default=819.0,
+                   help="chip HBM bandwidth, GB/s")
+    p.add_argument("--stages", default="",
+                   help="comma-separated subset to run")
+    args = p.parse_args(argv)
+
+    from ..config import LWA352
+    from ..ops import beamform as bf
+    from ..ops import corr_subsel as cs
+    from ..ops import correlate as corr
+    from ..ops import pfb as pfb_ops
+    from ..ops.pallas import pfb_fused
+
+    cfg = LWA352
+    T, C, I, B = cfg.acc_len, cfg.nchan, cfg.ninput, cfg.nbeam
+    L, ntap = 2 * cfg.nchan, cfg.pfb_ntap
+    rng = np.random.RandomState(1)
+
+    packed = jnp.asarray(rng.randint(0, 255, [T, C, I]).astype(np.uint8))
+    adc = jnp.asarray((rng.standard_normal([(T + ntap - 1) * L, I]) * 3)
+                      .astype(np.float32))
+    window = jnp.asarray(pfb_ops.pfb_window(C, ntap))
+    g = (rng.standard_normal([C, B, I])
+         + 1j * rng.standard_normal([C, B, I])).astype(np.complex64)
+    gains = bf.BeamGains.from_complex(g)
+    pairs = jnp.asarray(cs.baselines_to_inputs(
+        cs.default_baselines(cfg.nvis_out, cfg.nstand)).astype(np.int32))
+    vis = corr.Vis(
+        jnp.asarray(rng.randint(-1 << 20, 1 << 20, [C, I, I]), jnp.int32),
+        jnp.asarray(rng.randint(-1 << 20, 1 << 20, [C, I, I]), jnp.int32))
+
+    GB = 1e9
+    # Minimum-traffic / MXU-work models per stage (bytes, flops):
+    plane_bf16 = 2 * T * C * I * 2          # two bf16 planes of the window
+    vis_bytes = 2 * C * I * I * 4           # two int32 planes
+    dft_flops_1pass = T * I * L * L * 2     # real-DFT matmul [L]x[L,L]
+    models = {
+        "pfb_fused_bf16": {
+            # one HBM pass: f32 ADC in, packed 4-bit out; DFT on MXU
+            "hbm": (T + ntap - 1) * L * I * 4 + T * C * I,
+            "flops": dft_flops_1pass + T * L * ntap * I * 2,
+        },
+        "pfb_fused_high": {
+            # 3-pass compensated bf16 split = 3x the DFT MXU work
+            "hbm": (T + ntap - 1) * L * I * 4 + T * C * I,
+            "flops": 3 * dft_flops_1pass + T * L * ntap * I * 2,
+        },
+        "corr_window": {
+            # packed in, bf16 planes written+read once, vis out
+            "hbm": T * C * I + 2 * plane_bf16 + vis_bytes,
+            # 3 matmuls (imag from one product's antisymmetry)
+            "flops": 3 * C * I * I * T * 2,
+        },
+        "beamform_power": {
+            # packed in, bf16 planes w+r, beam voltages f32 w+r, powers
+            "hbm": (T * C * I + 2 * plane_bf16 + 2 * (2 * C * B * T * 4)
+                    + (B // 2) * (T // cfg.ntime_sum) * C * 4 * 4),
+            # bf16x2: 8 matmuls [C,B,I]x[T,C,I]
+            "flops": 8 * C * B * I * T * 2,
+        },
+        "subsel": {
+            "hbm": (2 * C * cfg.nvis_out * 4 * 4   # gathered rows (4 pol)
+                    + 2 * (C // cfg.nchan_sum) * cfg.nvis_out * 4),
+            "flops": 0,
+        },
+        "slow_accum": {
+            "hbm": 3 * vis_bytes,              # read new + read acc + write
+            "flops": 0,
+        },
+    }
+
+    def probe_vis(v):
+        return jnp.sum(v.real[0, 0, :8]) + jnp.sum(v.imag[0, 1, :8])
+
+    stages = {
+        "pfb_fused_bf16": (
+            jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
+                a, w, C, ntap, 0.5, fast=True)),
+            (adc, window),
+            jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
+        "pfb_fused_high": (
+            jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
+                a, w, C, ntap, 0.5, fast=False)),
+            (adc, window),
+            jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
+        "corr_window": (
+            jax.jit(lambda pk: corr.correlate_accumulate(pk, T)),
+            (packed,),
+            jax.jit(probe_vis)),
+        "beamform_power": (
+            jax.jit(lambda pk, gn: bf.beam_power_sum(
+                bf.beamform_gulp(pk, gn), cfg.ntime_sum)),
+            (packed, gains),
+            jax.jit(lambda o: jnp.sum(o[0, 0, :8, 0]))),
+        "subsel": (
+            jax.jit(lambda v, pr: cs.corr_subsel(v, pr, cfg.nchan_sum)),
+            (vis, pairs),
+            jax.jit(probe_vis)),
+        "slow_accum": (
+            jax.jit(corr.long_accumulate),
+            (vis, vis),
+            jax.jit(probe_vis)),
+    }
+
+    only = {s for s in args.stages.split(",") if s}
+    rows = []
+    for name, (fn, inputs, probe) in stages.items():
+        if only and name not in only:
+            continue
+        dt = _time_stage(fn, inputs, probe, args.niter)
+        m = models[name]
+        t_mxu = m["flops"] / (args.tflops * 1e12)
+        t_hbm = m["hbm"] / (args.hbm * GB)
+        t_sol = max(t_mxu, t_hbm)
+        rows.append({
+            "stage": name, "measured_ms": round(dt * 1e3, 2),
+            "roofline_ms": round(t_sol * 1e3, 2),
+            "mxu_ms": round(t_mxu * 1e3, 2),
+            "hbm_ms": round(t_hbm * 1e3, 2),
+            "binding": "MXU" if t_mxu >= t_hbm else "HBM",
+            "sol_fraction": round(t_sol / dt, 3) if dt else 0.0,
+        })
+        print(f"{name}: {dt*1e3:.2f} ms measured, "
+              f"SOL {t_sol*1e3:.2f} ms ({rows[-1]['binding']}-bound, "
+              f"{rows[-1]['sol_fraction']*100:.0f}% of SOL)",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "stage_speed_of_light",
+        "shape": {"nspec": T, "nchan": C, "ninput": I, "nbeam": B},
+        "peaks": {"bf16_tflops": args.tflops, "hbm_gbps": args.hbm},
+        "platform": jax.devices()[0].device_kind,
+        "stages": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

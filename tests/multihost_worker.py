@@ -65,8 +65,11 @@ def make(arr, spec):
 
 
 vis_spec = P("chan", None, None)
+part_spec = P("time", "chan", None, None)
 zero = np.zeros((CFG.nchan, CFG.ninput, CFG.ninput), np.int32)
-state = ((make(zero, vis_spec), make(zero, vis_spec)),
+n_time = mesh.shape["time"]
+zero_part = np.zeros((n_time,) + zero.shape, np.int32)
+state = ((make(zero_part, part_spec), make(zero_part, part_spec)),
          (make(zero, vis_spec), make(zero, vis_spec)))
 packed = make(packed_np, P("time", "chan", None))
 gains = bf.BeamGains(make(gains_np, P("chan", None, None)),
@@ -105,7 +108,7 @@ fxstep = jax.jit(pmesh.fx_sharded_state_fn(
     FXCFG, mesh, fast_first=True, fast_last=True, slow_first=True))
 with jax.set_mesh(mesh):
     stf, outf, vlbif = fxstep(
-        (Vis(make(zero, vis_spec), make(zero, vis_spec)),
+        (Vis(make(zero_part, part_spec), make(zero_part, part_spec)),
          Vis(make(zero, vis_spec), make(zero, vis_spec))),
         make(adc_np, P("time", "chan")), make(carry_np, P(None, "chan")),
         make(window_np.astype(np.float32), P()),

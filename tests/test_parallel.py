@@ -105,14 +105,13 @@ def test_xengine_sharded_stateful_stream(rng):
         cfg, mesh, fast_first=True, fast_last=False, slow_first=True))
     step_end = jax.jit(pmesh.xengine_sharded_state_fn(
         cfg, mesh, fast_first=False, fast_last=True, slow_first=True))
-    from caltech_bifrost_dsp_tpu.ops.correlate import zero_vis
-
-    state = (zero_vis(cfg.nchan, cfg.ninput),
-             zero_vis(cfg.nchan, cfg.ninput))
+    state = pmesh.zero_sharded_state(cfg, mesh)
     with jax.set_mesh(mesh):
         state, out1, _ = step_mid(state, gulps[0], gains, pairs)
+        # mid-window gulps carry partials only: no full vis/subsel output
+        assert out1.vis is None and out1.subsel is None
         state, out2, vlbi = step_end(state, gulps[1], gains, pairs)
-        fast_r = np.asarray(state[0].real)
+        fast_r = np.asarray(out2.vis.real)
         slow_r = np.asarray(state[1].real)
         sub_r = np.asarray(out2.subsel.real)
         vlbi_np = np.asarray(vlbi)
