@@ -8,8 +8,10 @@ same protocol shape behind a minimal interface so it can run against
 - :class:`MemoryStore` — in-process, for tests and single-host operation
   (the analog of ``EtcdCorrControl(simulated=True)``,
   reference: etcd_control.py:276-277), and
-- a real etcd3 cluster via :func:`connect` when the ``etcd3`` package and a
-  server are available (not bundled in this environment).
+- a real etcd3 cluster via :func:`connect` — the etcd v3 gRPC wire
+  protocol spoken directly over grpcio (:mod:`.etcd3_wire`; no
+  python-etcd3 dependency), which also works against this package's
+  bundled etcd-protocol server (``scripts/xeng_manager.py --serve-etcd``).
 """
 
 from __future__ import annotations
@@ -71,33 +73,16 @@ class MemoryStore:
             self._watches.pop(watch_id, None)
 
 
-class Etcd3Store:
-    """Thin adapter giving a real etcd3 client the MemoryStore interface."""
+def Etcd3Store(host: str = "localhost", port: int = 2379):
+    """etcd3 client with the MemoryStore interface.
 
-    def __init__(self, host: str = "localhost", port: int = 2379):
-        import etcd3  # gated: not bundled in this environment
+    Speaks the etcd v3 gRPC wire protocol directly over grpcio
+    (:class:`.etcd3_wire.Etcd3Client`) — no python-etcd3 dependency;
+    works against a real etcd cluster and against the bundled
+    etcd-protocol server (:class:`.etcd3_wire.Etcd3Server`)."""
+    from .etcd3_wire import Etcd3Client
 
-        self._ec = etcd3.client(host=host, port=port)
-
-    def put(self, key, value):
-        self._ec.put(key, value)
-
-    def get(self, key):
-        val, _ = self._ec.get(key)
-        return val.decode() if val is not None else None
-
-    def get_prefix(self, prefix):
-        return {meta.key.decode(): val.decode()
-                for val, meta in self._ec.get_prefix(prefix)}
-
-    def delete(self, key):
-        self._ec.delete(key)
-
-    def add_watch_prefix_callback(self, prefix, callback):
-        return self._ec.add_watch_prefix_callback(prefix, callback)
-
-    def cancel_watch(self, watch_id):
-        self._ec.cancel_watch(watch_id)
+    return Etcd3Client(host, port)
 
 
 def connect(host: str | None = None, port: int = 2379):
@@ -106,7 +91,7 @@ def connect(host: str | None = None, port: int = 2379):
     - ``None`` -> in-process MemoryStore
     - ``"kv://HOST:PORT"`` -> the bundled TCP store
       (:mod:`.netstore`, etcd-less multi-process control)
-    - anything else -> a real etcd3 client at host:port
+    - anything else -> an etcd3 wire client at host:port
     """
     if not host:
         return MemoryStore()

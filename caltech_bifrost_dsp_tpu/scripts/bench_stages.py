@@ -158,7 +158,8 @@ def main(argv=None) -> int:
         "subsel": (
             jax.jit(lambda v, pr: cs.corr_subsel(v, pr, cfg.nchan_sum)),
             (vis, pairs),
-            jax.jit(probe_vis)),
+            jax.jit(lambda v: jnp.sum(v.real[0, :8])
+                    + jnp.sum(v.imag[1, :8]))),
         "slow_accum": (
             jax.jit(corr.long_accumulate),
             (vis, vis),

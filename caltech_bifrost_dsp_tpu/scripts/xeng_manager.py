@@ -25,6 +25,12 @@ def main(argv=None) -> int:
     p.add_argument("--serve-kv", type=int, default=0, metavar="PORT",
                    help="also run the bundled TCP KV store on PORT "
                         "(etcd-less single-host control plane)")
+    p.add_argument("--serve-etcd", type=int, default=0, metavar="PORT",
+                   help="also run the bundled etcd-protocol gRPC server "
+                        "on PORT (control/etcd3_wire.Etcd3Server): the "
+                        "control plane then speaks the genuine etcd v3 "
+                        "wire format, usable by stock etcd clients, "
+                        "without an etcd binary")
     args = p.parse_args(argv)
 
     kv_server = None
@@ -35,6 +41,16 @@ def main(argv=None) -> int:
         if not args.etcdhost:
             args.etcdhost = f"kv://127.0.0.1:{args.serve_kv}"
         print(f"KV store serving on :{kv_server.port}")
+    etcd_server = None
+    etcd_port = 2379
+    if args.serve_etcd:
+        from ..control.etcd3_wire import Etcd3Server
+
+        etcd_server = Etcd3Server("0.0.0.0", args.serve_etcd)
+        if not args.etcdhost:
+            args.etcdhost = "127.0.0.1"
+            etcd_port = etcd_server.port
+        print(f"etcd-protocol server on :{etcd_server.port}")
 
     cpu_tables = {}
     if args.cores:
@@ -42,17 +58,23 @@ def main(argv=None) -> int:
             pid, _, cores = part.partition(":")
             cpu_tables[int(pid)] = [int(c) for c in cores.split(",")]
 
-    store = connect(args.etcdhost)
+    store = connect(args.etcdhost, etcd_port)
     ctl = XengineController(pidfile_dir=args.pidfile_dir,
                             cpu_tables=cpu_tables)
     svc = XengineManagerService(store, ctl)
     stop = threading.Event()
-    for sig in (signal.SIGINT, signal.SIGTERM):
-        signal.signal(sig, lambda *_: stop.set())
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            signal.signal(sig, lambda *_: stop.set())
+    main.stop = stop  # embedders (tests) can stop a threaded main()
     print("manager listening on", svc.cmd_key)
     stop.wait()
     svc.close()
     ctl.kill_pipelines()
+    if etcd_server is not None:
+        etcd_server.stop()
+    if kv_server is not None:
+        kv_server.close()
     return 0
 
 
