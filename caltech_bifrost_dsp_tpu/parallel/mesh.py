@@ -289,11 +289,15 @@ def zero_sharded_state(cfg: XEngineConfig, mesh: Mesh):
     per-time-shard partials [n_time, nchan, ninput, ninput] plus the
     replicated slow planes [nchan, ninput, ninput]."""
     n_time = mesh.shape["time"]
+    # four DISTINCT buffers: zero_vis aliases real/imag, which trips
+    # "donate the same buffer twice" when the state is donated
     fast = Vis(jnp.zeros((n_time, cfg.nchan, cfg.ninput, cfg.ninput),
                          jnp.int32),
                jnp.zeros((n_time, cfg.nchan, cfg.ninput, cfg.ninput),
                          jnp.int32))
-    return (fast, corr.zero_vis(cfg.nchan, cfg.ninput))
+    slow = Vis(jnp.zeros((cfg.nchan, cfg.ninput, cfg.ninput), jnp.int32),
+               jnp.zeros((cfg.nchan, cfg.ninput, cfg.ninput), jnp.int32))
+    return (fast, slow)
 
 
 def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,

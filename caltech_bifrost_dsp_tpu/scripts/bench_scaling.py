@@ -40,8 +40,11 @@ import sys
 import time
 
 
-def measure(cfg, mesh, nspec_total: int, niter: int) -> float:
-    """Seconds per program invocation on ``mesh``."""
+def measure(cfg, mesh, gulp_spectra: int, niter: int) -> float:
+    """Seconds per FAST WINDOW (``acc_len`` spectra) streamed through the
+    stateful sharded FX step — the production path: ``acc_len /
+    gulp_spectra`` calls per window, per-time-shard partial accumulation
+    mid-window, psum + subsel at the dump gulp."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,25 +56,46 @@ def measure(cfg, mesh, nspec_total: int, niter: int) -> float:
 
     rng = np.random.RandomState(0)
     adc = jnp.asarray(rng.standard_normal(
-        [nspec_total * 2 * cfg.nchan, cfg.ninput]).astype(np.float32))
+        [gulp_spectra * 2 * cfg.nchan, cfg.ninput]).astype(np.float32))
     window = jnp.asarray(pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
     gains = bf.BeamGains(
         jnp.ones((cfg.nchan, cfg.nbeam, cfg.ninput), jnp.float32),
         jnp.zeros((cfg.nchan, cfg.nbeam, cfg.ninput), jnp.float32))
     pairs = jnp.asarray(cs.baselines_to_inputs(
         cs.default_baselines(cfg.nvis_out, cfg.nstand)).astype(np.int32))
-    fn = jax.jit(pmesh.fx_sharded_fn(cfg, mesh))
+    halo_n = (cfg.pfb_ntap - 1) * 2 * cfg.nchan
+    carry = jnp.zeros((halo_n, cfg.ninput), jnp.float32)
+    gulps_per_window = cfg.acc_len // gulp_spectra
+
+    def flags(k):
+        return (k == 0, k == gulps_per_window - 1, True)
+
+    steps = {}
+    for k in range(gulps_per_window):
+        key = flags(k)
+        if key not in steps:
+            # donate the carried accumulator state: the int32 partial
+            # planes alias in place instead of being reallocated+copied
+            # every gulp (1.5 GB/gulp at production shape)
+            steps[key] = jax.jit(pmesh.fx_sharded_state_fn(
+                cfg, mesh, *key), donate_argnums=(0,))
     probe = jax.jit(lambda o: jnp.sum(o.vis.real[0, 0, :8]))
 
+    def run_window(state):
+        out = None
+        for k in range(gulps_per_window):
+            state, out, _ = steps[flags(k)](state, adc, carry, window,
+                                            jnp.float32(1.0), gains,
+                                            pairs)
+        return state, out
+
     with jax.set_mesh(mesh):
-        out = fn(adc, window, gains, pairs, jnp.float32(1.0))
-        _ = np.asarray(jax.device_get(probe(out)))  # compile + settle
+        state = pmesh.zero_sharded_state(cfg, mesh)
+        state, out = run_window(state)  # compile + settle
+        _ = np.asarray(jax.device_get(probe(out)))
         t0 = time.perf_counter()
-        # chain iterations through the input so the queue cannot lie
-        a = adc
         for _ in range(niter):
-            out = fn(a, window, gains, pairs, jnp.float32(1.0))
-            a = a + 0 * out.bf_power[0, 0, 0, 0]
+            state, out = run_window(state)
         _ = np.asarray(jax.device_get(probe(out)))
         return (time.perf_counter() - t0) / niter
 
@@ -80,8 +104,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="FX scaling benchmark")
     p.add_argument("--cpu", type=int, default=0,
                    help="force CPU with N virtual devices")
-    p.add_argument("--nspec", type=int, default=96,
-                   help="spectra per invocation (fixed across mesh sizes)")
+    p.add_argument("--nspec", type=int, default=0,
+                   help="spectra per gulp (default: cfg.ntime_gulp; "
+                        "fixed across mesh sizes)")
     p.add_argument("--niter", type=int, default=5)
     p.add_argument("--nstand", type=int, default=64)
     p.add_argument("--nchan", type=int, default=128)
@@ -115,13 +140,12 @@ def main(argv=None) -> int:
 
     if args.production:
         cfg = LWA352
-        nspec = 480  # one production gulp (GSIZE, lwa352-pipeline.py:171)
     else:
         cfg = XEngineConfig(
             nstand=args.nstand, nchan=args.nchan,
             ntime_gulp=48, acc_len=96, acc_len_slow=192, nbeam=8,
             ntime_sum=12, nchan_sum=4, npipeline=2, pfb_ntap=4)
-        nspec = args.nspec
+    nspec = args.nspec or cfg.ntime_gulp  # one gulp per call
 
     ndev = len(jax.devices())
     results = {}
@@ -146,17 +170,18 @@ def main(argv=None) -> int:
         mesh = pmesh.make_mesh(n_time, n_chan,
                                devices=jax.devices()[:n])
         dt = measure(cfg, mesh, nspec, args.niter)
-        samples = nspec * cfg.nchan * cfg.ninput
+        samples = cfg.acc_len * cfg.nchan * cfg.ninput  # per window
         vols = pmesh.collective_volumes(cfg, n_time, n_chan,
                                         gulp_spectra=nspec)
         key = f"{n_time}x{n_chan}"
-        results[key] = {"n": n, "sec_per_call": dt,
+        results[key] = {"n": n, "sec_per_window": dt,
                         "msamples_per_s": samples / dt / 1e6,
                         "msamples_per_s_per_chip": samples / dt / 1e6 / n,
-                        "collective_bytes_per_device_per_call": {
-                            v["collective"]: v["per_device_bytes_per_gulp"]
+                        "collective_bytes_per_device_per_window": {
+                            v["collective"]: (v["per_device_bytes_per_fire"]
+                                              * v["fires_per_window"])
                             for v in vols["collectives"]}}
-        print(f"n={n} ({key}): {dt*1e3:.1f} ms/call, "
+        print(f"n={n} ({key}): {dt*1e3:.1f} ms/window, "
               f"{results[key]['msamples_per_s']:.1f} Msamples/s "
               f"({results[key]['msamples_per_s_per_chip']:.1f}/chip)",
               file=sys.stderr)
