@@ -157,6 +157,52 @@ class SubselCommandBlock(CommandBlock):
         self.update_stats({"baselines": self.baselines})
 
 
+class FEngineCommandBlock(CommandBlock):
+    """Channelizer/requant endpoint (FX mode): runtime scalar
+    ``quant_scale`` plus per-channel ``eq_gains`` equalization.
+
+    The quantize ops already accept a per-channel scale
+    (``ops.pfb.quantize_4bit_planes`` / the fused kernel's scale table);
+    this block is the runtime surface for it — the software analog of
+    the FPGA F-engine's per-channel EQ coefficients (the reference's
+    F-engine is gateware, external to its repo; SURVEY.md section 0).
+    Values stage at gulp boundaries like every non-Beamform key
+    (block_base.py staging semantics)."""
+
+    def __init__(self, cfg: XEngineConfig, quant_scale: float = 1.0,
+                 eq_gains=None, store=None):
+        super().__init__("FEngine", store=store)
+        self.cfg = cfg
+        self.define_command_key(
+            "quant_scale", type=(int, float), initial_val=quant_scale,
+            condition=lambda x: x > 0)
+        self.define_command_key(
+            "eq_gains", type=list,
+            initial_val=list(eq_gains) if eq_gains is not None else [],
+            condition=lambda v: len(v) in (0, cfg.nchan)
+            and all(g > 0 for g in v))
+        self.scale_device = None
+        self._rebuild()
+
+    def _rebuild(self):
+        eq = self.command_vals["eq_gains"]
+        scale = np.float32(self.command_vals["quant_scale"])
+        if eq:
+            vec = (np.asarray(eq, np.float32) * scale)
+            self.scale_device = jnp.asarray(vec)
+        else:
+            self.scale_device = jnp.float32(scale)
+        self.update_stats({"quant_scale": float(scale),
+                           "eq_gains_set": bool(eq)})
+
+    def apply_pending(self) -> bool:
+        if not self.update_pending:
+            return False
+        self.update_command_vals()
+        self._rebuild()
+        return True
+
+
 class OutputCommandBlock(CommandBlock):
     """Destination/throttle endpoint for a packet sink
     (command keys per reference: corr_output_full_block.py:412-415).
@@ -299,8 +345,16 @@ class XEnginePipeline:
                  autostartat: int = 0, sync_time: int = 0,
                  selftest: bool = False, batch_accumulations: bool = True,
                  fx_mode: bool = False, quant_scale: float = 1.0,
-                 mesh=None, dump_direct: bool = False):
+                 eq_gains=None, mesh=None, dump_direct: bool = False,
+                 stub_device_ms: float | None = None):
         self.cfg = cfg
+        # stub_device_ms: replace the device call with a sleep of the
+        # given milliseconds per fast window (scaled by the call's
+        # spectra count) and zero products — isolates the HOST side
+        # (capture -> staging -> compute thread -> outputs) for
+        # real-time proof where the device link is a tunnel
+        # (scripts/bench_pipeline.py --stub-device).
+        self.stub_device_ms = stub_device_ms
         # batch_accumulations: process whole fast accumulations in one
         # device call (the MXU accumulates over the full window with no
         # per-gulp HBM round-trips); per-gulp fallback covers partial
@@ -377,6 +431,10 @@ class XEnginePipeline:
         # single-device analog of the mesh halo exchange).
         self.fx_mode = fx_mode
         self.quant_scale = quant_scale
+        self.feng_cmd = None
+        if fx_mode:
+            self.feng_cmd = FEngineCommandBlock(cfg, quant_scale,
+                                                eq_gains, store=store)
         if fx_mode and selftest:
             raise ValueError("selftest compares packed post-F input; "
                              "not applicable in FX mode")
@@ -453,6 +511,19 @@ class XEnginePipeline:
         [k*ntime_gulp, nchan, ninput] uint8, or in FX mode raw ADC
         [k*ntime_gulp*2*nchan, ninput] f32."""
         cfg = self.cfg
+        if self.stub_device_ms is not None:
+            import time as _time
+
+            nspec = (block.size // (cfg.nchan * cfg.ninput)
+                     if not self.fx_mode
+                     else block.size // (2 * cfg.nchan * cfg.ninput))
+            _time.sleep(self.stub_device_ms * 1e-3 * nspec / cfg.acc_len)
+            subsel = correlate.Vis(
+                np.zeros((cfg.nchan // cfg.nchan_sum, cfg.nvis_out),
+                         np.int32),
+                np.zeros((cfg.nchan // cfg.nchan_sum, cfg.nvis_out),
+                         np.int32)) if is_dump else None
+            return xengine.XEngineOutputs(subsel, None, None)
         if self.mesh is not None:
             import jax as _jax
 
@@ -475,7 +546,7 @@ class XEnginePipeline:
                 with _jax.set_mesh(self.mesh):
                     st, out, vlbi = self._mesh_steps[key](
                         st, jnp.asarray(adc), jnp.asarray(tail_prev),
-                        self._window, jnp.float32(self.quant_scale),
+                        self._window, self.feng_cmd.scale_device,
                         gains_dev, self.subsel_cmd.pairs_device)
                     self.state = xengine.XEngineState(st[0], st[1])
                 if out.vis is not None:
@@ -502,7 +573,7 @@ class XEnginePipeline:
             self._adc_tail = adc[-self._adc_tail.shape[0]:].copy()
             self.state, out = xengine.fx_step_jit(
                 self.state, jnp.asarray(adc_ext), self._window,
-                jnp.float32(self.quant_scale), gains_dev,
+                self.feng_cmd.scale_device, gains_dev,
                 self.subsel_cmd.pairs_device, is_first, is_dump,
                 slow_first, cfg, self._want_power, self._want_vlbi)
             return out
@@ -589,6 +660,8 @@ class XEnginePipeline:
                     self.corr_cmd.apply_pending()
                     self.corr_acc_cmd.apply_pending()
                     self.subsel_cmd.apply_pending()
+                    if self.feng_cmd is not None:
+                        self.feng_cmd.apply_pending()
                     if self.beam_cmd.stage_loads(t):
                         gains_dev = self.beam_cmd.device_gains()
                     gulps_per_acc = max(

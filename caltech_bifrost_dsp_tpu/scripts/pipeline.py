@@ -29,6 +29,8 @@ import signal
 import sys
 import time
 
+import numpy as np
+
 from ..config import LWA352, XEngineConfig
 from ..control.command import CommandBlock
 from ..control.monitor import MonitorBridge
@@ -121,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["high", "bf16"])
     p.add_argument("--quant-scale", type=float, default=1.0,
                    help="FX-mode 4-bit requantization gain")
+    p.add_argument("--eq-gains", type=str, default=None, metavar="FILE",
+                   help="FX-mode per-channel EQ gains: .npy or text file "
+                        "of nchan positive floats (multiplied into "
+                        "quant-scale; runtime-updatable via the FEngine "
+                        "'eq_gains' command key)")
     p.add_argument("--fx-tone-chan", type=int, default=-1,
                    help="FX fakesource: put a test tone in this channel")
     p.add_argument("--mesh", type=str, default=None, metavar="TIMExCHAN",
@@ -201,6 +208,13 @@ def build_pipeline(args, log) -> XEnginePipeline:
         n_time, _, n_chan = args.mesh.partition("x")
         mesh = make_mesh(int(n_time), int(n_chan))
 
+    eq_gains = None
+    if args.eq_gains:
+        if args.eq_gains.endswith(".npy"):
+            eq_gains = np.load(args.eq_gains).astype(float).tolist()
+        else:
+            eq_gains = np.loadtxt(args.eq_gains).astype(float).tolist()
+
     pipe = XEnginePipeline(
         cfg, src, store=store, corr_outputs=corr_outputs,
         subsel_outputs=subsel_outputs, pbeam_outputs=pbeam_outputs,
@@ -209,7 +223,7 @@ def build_pipeline(args, log) -> XEnginePipeline:
         history_nbyte=int(args.bufgbytes * 1e9),
         autostartat=args.autostartat, sync_time=int(time.time()),
         selftest=args.testcorr, fx_mode=args.fx,
-        quant_scale=args.quant_scale)
+        quant_scale=args.quant_scale, eq_gains=eq_gains)
     bridge = MonitorBridge(store, pipeline_id=args.pipelineid)
     bridge.start()
     pipe._monitor_bridge = bridge
