@@ -116,15 +116,24 @@ class NativeCapture:
         (None, None).  The view stays valid for the next 3 get_gulp
         calls; copy it if held longer."""
         buf = self._bufs[self._buf_i]
-        seq0 = self._lib.cbd_capture_get_gulp(
-            self._h, buf.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_uint8)), timeout_s)
-        if seq0 < 0:
+        seq0 = self.get_gulp_into(buf, timeout_s)
+        if seq0 is None:
             return None, None
         self._buf_i = (self._buf_i + 1) % len(self._bufs)
         cfg = self.cfg
-        return int(seq0), buf.reshape(
+        return seq0, buf.reshape(
             cfg.ntime_gulp, cfg.nchan, cfg.ninput)
+
+    def get_gulp_into(self, dest: np.ndarray, timeout_s: float = 5.0):
+        """Assemble the next gulp DIRECTLY into ``dest`` (contiguous
+        writable uint8, gulp_nbyte) — e.g. a staging-ring reservation,
+        so the slot->consumer memcpy is the only post-scatter copy.
+        Returns seq0, or None on timeout."""
+        assert dest.nbytes == self.cfg.gulp_nbyte
+        seq0 = self._lib.cbd_capture_get_gulp(
+            self._h, dest.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)), timeout_s)
+        return None if seq0 < 0 else int(seq0)
 
     def stats(self) -> dict:
         vals = [ctypes.c_uint64() for _ in range(4)]
@@ -208,6 +217,14 @@ class CaptureSource:
                 continue
             yield seq0, gulp
             n += 1
+
+    def fill_into(self, dest: np.ndarray):
+        """Zero-copy source protocol: assemble the next gulp directly
+        into the staging reservation (native slot->ring memcpy, nothing
+        in between).  Returns seq0, or None on poll timeout/stop."""
+        if self._stopped:
+            return None
+        return self.capture.get_gulp_into(dest, timeout_s=self.poll_s)
 
     def stats(self) -> dict:
         return self.capture.stats()

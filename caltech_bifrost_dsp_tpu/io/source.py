@@ -77,6 +77,9 @@ class DummySource:
             self._test_ntime = ntime
         self._emitted_bits = 0
         self._t_start = None
+        self._fill_i = 0
+        self._ramp = None
+        self._zeroed_slots: set = set()
 
     def header(self, seq0: int = 0, **kw) -> dict:
         return sequence_header(self.cfg, seq0, **kw)
@@ -113,16 +116,52 @@ class DummySource:
             data = self._rng.randint(0, 255, shape, dtype=np.uint8)
         else:
             raise ValueError(f"unknown mode {self.mode}")
+        self._throttle(data.nbytes)
+        return data
+
+    def _throttle(self, nbytes: int) -> None:
         # Throttle (dummy_source_block.py:275-283)
         now = time.monotonic()
         if self._t_start is None:
             self._t_start = now
-        self._emitted_bits += 8 * data.nbytes
+        self._emitted_bits += 8 * nbytes
         min_elapsed = self._emitted_bits / (self.target_gbps * 1e9)
         sleep = min_elapsed - (now - self._t_start)
         if sleep > 0:
             time.sleep(sleep)
-        return data
+
+    def fill_into(self, dest: np.ndarray):
+        """Zero-copy source protocol: write the next gulp directly into
+        the caller's buffer (a staging-ring reservation,
+        ring.Ring.reserve_span) and return its seq0.  ``skip_write``
+        skips even the memset once a recycled ring slot is known to
+        hold only our zeros — the no-generation-cost contract of the
+        reference's skip_write (dummy_source_block.py:130-135)."""
+        cfg = self.cfg
+        out = dest.view(np.uint8).reshape(
+            cfg.ntime_gulp, cfg.nchan, cfg.ninput)
+        i = self._fill_i
+        self._fill_i += 1
+        if self.skip_write:
+            key = (dest.__array_interface__["data"][0], dest.nbytes)
+            if key not in self._zeroed_slots:
+                out[...] = 0
+                self._zeroed_slots.add(key)
+        elif self.mode == "ramp":
+            flat = out.reshape(-1)
+            if self._ramp is None or self._ramp.size != flat.size:
+                self._ramp = (np.arange(flat.size) & 0xFF).astype(np.uint8)
+            # uint8 wraparound add == (start + arange) & 0xFF
+            np.add(self._ramp, np.uint8((i * flat.size) & 0xFF), out=flat)
+        elif self.mode == "testfile":
+            out[...] = self.get_testfile_gulp(i)
+        elif self.mode == "random":
+            out[...] = self._rng.randint(
+                0, 255, out.shape, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+        self._throttle(out.nbytes)
+        return i * cfg.ntime_gulp
 
     def stream(self, ngulp: int, seq0: int = 0):
         """Yield (this_gulp_time, gulp) pairs; ngulp == 0 runs forever."""
@@ -149,6 +188,7 @@ class ADCSource:
         self.amplitude = amplitude
         self._rng = np.random.RandomState(seed)
         self.samples_per_gulp = cfg.ntime_gulp * 2 * cfg.nchan
+        self._fill_i = 0
 
     def header(self, seq0: int = 0, **kw) -> dict:
         h = sequence_header(self.cfg, seq0, **kw)
@@ -173,6 +213,24 @@ class ADCSource:
         while ngulp == 0 or i < ngulp:
             yield seq0 + i * self.cfg.ntime_gulp, self.gulp(i)
             i += 1
+
+    def fill_into(self, dest: np.ndarray):
+        """Zero-copy source protocol (see DummySource.fill_into): write
+        the next f32 ADC gulp into the caller's staging reservation."""
+        cfg = self.cfg
+        n = self.samples_per_gulp
+        out = dest.view(np.float32).reshape(n, cfg.ninput)
+        i = self._fill_i
+        self._fill_i += 1
+        if self.mode == "tone":
+            t = np.arange(i * n, (i + 1) * n, dtype=np.float64)
+            x = self.amplitude * np.cos(
+                2 * np.pi * self.tone_chan / (2 * cfg.nchan) * t)
+            out[...] = x[:, None].astype(np.float32)
+        else:
+            out[...] = (self._rng.standard_normal([n, cfg.ninput])
+                        * self.amplitude).astype(np.float32)
+        return i * cfg.ntime_gulp
 
 
 class TriggerFileSource:

@@ -391,8 +391,21 @@ class XEnginePipeline:
         self.beam_cmd = BeamformCommandBlock(cfg, store=store)
         self.subsel_cmd = SubselCommandBlock(cfg, store=store)
 
-        self.staging = Ring("staging", nbyte_budget=max(
-            4 * cfg.gulp_nbyte, 1 << 22))
+        # Backed staging ring (one contiguous buffer, Bifrost's model):
+        # sources fill reservations in place and whole accumulation
+        # windows read out as ONE contiguous view — no per-gulp
+        # ownership copy, no per-window np.concatenate.  Capacity is an
+        # EXACT multiple of the fast window so windows never straddle
+        # the wrap edge (a straddle falls back to a 325 MB copy at
+        # production shape): 3 windows = one held by the compute
+        # thread, two of ingest headroom.
+        raw_gulp = cfg.gulp_nbyte * (8 if fx_mode else 1)
+        self._raw_gulp_nbyte = raw_gulp
+        win_gulps = max(1, cfg.acc_len // cfg.ntime_gulp)
+        nwin = max(3, -(-(1 << 22) // (win_gulps * raw_gulp)))
+        self.staging = Ring("staging",
+                            nbyte_budget=nwin * win_gulps * raw_gulp,
+                            backing=True)
         self.history = None
         self.dump_cmd = None
         if history_nbyte:
@@ -480,7 +493,7 @@ class XEnginePipeline:
         seq = None
         expected = None
         time_tag = 0
-        for t, gulp in self.source.stream(ngulp):
+        for t, gulp, owned in self._gulp_iter(ngulp):
             if self._stop.is_set():
                 break
             if seq is None or t != expected:
@@ -498,13 +511,98 @@ class XEnginePipeline:
                         2 * self.cfg.nchan if self.fx_mode else 1)
                     self.history.set_header(
                         seq.header, t - self.history.count * spf)
-            self.staging.write_span(seq, gulp)
+            if owned:
+                self.staging.commit_span(seq, gulp)
+            else:
+                self.staging.write_span(seq, gulp)
             if self.history is not None:
                 self.history.push(gulp)
             expected = t + self.cfg.ntime_gulp
         if seq is not None:
             self.staging.end_sequence(seq)
         self.staging.shutdown()
+
+    def _gulp_iter(self, ngulp: int):
+        """Yield (t, gulp, ring_owned).  Zero-copy path: reserve staging
+        memory and have the source fill it in place (fill_into
+        protocol); sources without it fall back to stream() + the
+        ring's ownership copy."""
+        cfg = self.cfg
+
+        def owner(name):
+            for c in type(self.source).__mro__:
+                if name in vars(c):
+                    return c
+            return None
+
+        # fill_into engages only when the source's stream() is the one
+        # defined alongside it: a subclass overriding stream() alone
+        # (custom timing/jump tests) keeps the generator semantics
+        use_fill = (self.staging.backed
+                    and owner("fill_into") is not None
+                    and owner("fill_into") is owner("stream"))
+        if not use_fill:
+            for t, gulp in self.source.stream(ngulp):
+                yield t, gulp, False
+            return
+        n = 0
+        while ngulp == 0 or n < ngulp:
+            if self._stop.is_set():
+                return
+            dest = self.staging.reserve_span(self._raw_gulp_nbyte,
+                                             timeout=2.0)
+            if dest is None:
+                continue  # backpressure/shutdown poll; _stop re-checked
+            t = self.source.fill_into(dest)
+            if t is None:  # capture poll timeout / source stopped
+                self.staging.release_span(dest)
+                if getattr(self.source, "_stopped", False):
+                    return
+                continue
+            if self.fx_mode:
+                gulp = dest.view(np.float32).reshape(-1, cfg.ninput)
+            else:
+                gulp = dest.reshape(cfg.ntime_gulp, cfg.nchan,
+                                    cfg.ninput)
+            yield t, gulp, True
+            n += 1
+
+    def _assemble(self, spans):
+        """One [nspec, nchan, ninput] block over ``spans`` with the
+        minimum copying the device path allows; returns (block,
+        spans_to_release_after_the_step).
+
+        Consecutive staging reservations are byte-adjacent, so a whole
+        window is usually ONE contiguous ring view — zero-copy.  But
+        ``jnp.asarray`` ALIASES host uint8 memory on the CPU backend
+        and dispatch is async, so ring memory handed to a real device
+        must be copied out first (then the ring slots free
+        immediately); the stub-device path (bench_pipeline
+        --stub-device) and heap spans need no copy."""
+        cfg = self.cfg
+        if len(spans) == 1:
+            flat = self.staging.contiguous_view(spans)
+            blk = spans[0] if flat is None else flat.view(spans[0].dtype)
+        else:
+            flat = self.staging.contiguous_view(spans)
+            blk = (np.concatenate([s.reshape(-1) for s in spans])
+                   if flat is None else flat.view(spans[0].dtype))
+        blk = blk.reshape(-1, cfg.nchan, cfg.ninput)
+        if flat is None and len(spans) > 1:
+            # already a private copy; ring slots (if any) free now
+            self._release_spans(spans)
+            return blk, []
+        if self.staging._span_off(blk) is None:
+            return blk, []          # heap span: private already
+        if self.stub_device_ms is not None:
+            return blk, spans       # stub never aliases past the call
+        blk = blk.copy()
+        self._release_spans(spans)
+        return blk, []
+
+    def _release_spans(self, spans) -> None:
+        for s in spans:
+            self.staging.release_span(s)
 
     def _run_step(self, block, gains_dev, is_first, is_dump, slow_first):
         """One device call over ``block``: packed
@@ -670,6 +768,7 @@ class XEnginePipeline:
                 self.corr_cmd.update_stats(
                     {"state": self.fast_ctrl.state, "curr_sample": t})
                 if dec.action == Action.SKIP:
+                    self.staging.release_span(span)
                     t += cfg.ntime_gulp
                     self.perf_compute.tick()
                     continue
@@ -678,36 +777,42 @@ class XEnginePipeline:
                     self.corr_acc_cmd.update_stats(
                         {"state": self.slow_ctrl.state})
                 self.perf_compute.mark_reserve()
-                if self.batch_accumulations and gulps_per_acc > 1:
+                # a runtime acc_len larger than the staging ring can
+                # hold must not buffer a whole window (writer deadlock)
+                fits = (gulps_per_acc + 2) * self._raw_gulp_nbyte \
+                    <= self.staging.nbyte_budget
+                if self.batch_accumulations and gulps_per_acc > 1 \
+                        and fits:
                     batch.append((t, span, dec))
                     if dec.action == Action.DUMP:
                         if len(batch) == gulps_per_acc:
                             # whole accumulation in ONE device call: the
                             # MXU accumulates over k*ntime_gulp samples
                             # with no intermediate HBM round-trips
-                            block = np.concatenate(
-                                [s for _, s, _ in batch]).reshape(
-                                    -1, cfg.nchan, cfg.ninput)
+                            block, hold = self._assemble(
+                                [s for _, s, _ in batch])
                             out = self._run_step(block, gains_dev, True,
                                                  True, slow_dec.is_first)
                             if self.selftest:
                                 self._selftest_update(block, True, True)
                             self._emit(out, batch[0][0], hdr, dec,
                                        slow_dec)
+                            self._release_spans(hold)
                         else:
                             # partial accumulation (start mid-way after
                             # arming/recovery): per-gulp fallback
                             for tg, sg, dg in batch:
+                                blk, hold = self._assemble([sg])
                                 out = self._run_step(
-                                    sg.reshape(-1, cfg.nchan, cfg.ninput),
-                                    gains_dev, dg.is_first,
+                                    blk, gains_dev, dg.is_first,
                                     dg.action == Action.DUMP,
                                     slow_dec.is_first)
                                 if self.selftest:
                                     self._selftest_update(
-                                        sg, dg.is_first,
+                                        blk, dg.is_first,
                                         dg.action == Action.DUMP)
                                 self._emit(out, tg, hdr, dg, slow_dec)
+                                self._release_spans(hold)
                         batch = []
                         self.perf_compute.mark_process(
                             gulps_per_acc * span.nbytes)
@@ -715,20 +820,23 @@ class XEnginePipeline:
                         self.corr_cmd.update_stats(
                             {"last_end_sample": t})
                 else:
+                    blk, hold = self._assemble([span])
                     out = self._run_step(
-                        span.reshape(-1, cfg.nchan, cfg.ninput),
-                        gains_dev, dec.is_first,
+                        blk, gains_dev, dec.is_first,
                         dec.action == Action.DUMP, slow_dec.is_first)
                     if self.selftest:
-                        self._selftest_update(span, dec.is_first,
+                        self._selftest_update(blk, dec.is_first,
                                               dec.action == Action.DUMP)
                     self._emit(out, t, hdr, dec, slow_dec)
+                    self._release_spans(hold)
                     self.perf_compute.mark_process(span.nbytes)
                     self.perf_compute.publish()
                     if dec.action == Action.DUMP:
                         self.corr_cmd.update_stats(
                             {"last_end_sample": t})
                 t += cfg.ntime_gulp
+            # sequence ended mid-window: hand leftover ring memory back
+            self._release_spans([s for _, s, _ in batch])
         self.out_queue.put(None)
 
     def _output(self):

@@ -21,6 +21,7 @@ rounded to a power of two like Bifrost's allocator
 from __future__ import annotations
 
 import threading
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -28,6 +29,16 @@ import numpy as np
 
 def _round_up_pow2(x: int) -> int:
     return 1 << (int(x) - 1).bit_length()
+
+
+@dataclass
+class _Alloc:
+    """One backed reservation: ``pad`` bytes were wasted at the wrap
+    edge before ``off`` (Bifrost pads ringlets the same way)."""
+    off: int
+    nbyte: int
+    pad: int
+    freed: bool = False
 
 
 @dataclass
@@ -46,16 +57,42 @@ class Sequence:
 class Ring:
     """A bounded FIFO of sequences of numpy spans.
 
-    Simpler than Bifrost's single mmap'd circular buffer: spans are retained
-    numpy blocks with a total-byte budget; blocking writes apply
-    backpressure exactly like guaranteed-mode reads.  The deep
-    trigger-history variant (:class:`HistoryRing`) keeps the byte-addressed
-    circular semantics needed for dumps.
+    Two storage modes:
+
+    - **heap spans** (default): spans are retained numpy blocks with a
+      total-byte budget; blocking writes apply backpressure exactly like
+      guaranteed-mode reads.
+    - **backed** (``backing=True``): one preallocated contiguous buffer
+      — Bifrost's actual ring model (copy_block.py:113-114).  Writers
+      ``reserve_span``/``commit_span`` directly into it (the source
+      fills the ring memory in place: zero intermediate copies), and
+      readers hand spans back with ``release_span`` when the device has
+      consumed them.  Consecutive reservations are byte-adjacent, so a
+      whole accumulation window read back-to-back is ONE contiguous
+      view (``contiguous_view``) — no per-window ``np.concatenate``.
+
+    The deep trigger-history variant (:class:`HistoryRing`) keeps the
+    byte-addressed circular semantics needed for dumps.
     """
 
-    def __init__(self, name: str, nbyte_budget: int = 1 << 28):
+    def __init__(self, name: str, nbyte_budget: int = 1 << 28,
+                 backing: bool = False):
         self.name = name
-        self.nbyte_budget = _round_up_pow2(nbyte_budget)
+        self.nbyte_budget = (int(nbyte_budget) if backing
+                             else _round_up_pow2(nbyte_budget))
+        self._backing = (np.zeros(self.nbyte_budget, np.uint8)
+                         if backing else None)
+        if self._backing is not None:
+            # pre-fault: np.zeros maps lazily; taking the page faults at
+            # ingest time stalls the first windows long enough to
+            # overflow the capture socket buffer at production rate
+            self._backing[::4096] = 0
+        self._base_ptr = (self._backing.__array_interface__["data"][0]
+                          if backing else 0)
+        self._allocs: deque[_Alloc] = deque()
+        self._by_off: dict[int, _Alloc] = {}
+        self._head = 0   # next free byte in the backing buffer
+        self._live = 0   # bytes (incl. wrap pads) reserved, not yet freed
         self._lock = threading.Condition()
         self._sequences: list[Sequence] = []
         self._nbyte = 0
@@ -99,6 +136,97 @@ class Ring:
             self._nbyte += nbyte
             self._lock.notify_all()
             return True
+
+    # -- backed (contiguous) writer API --------------------------------------
+
+    @property
+    def backed(self) -> bool:
+        return self._backing is not None
+
+    def _span_off(self, data: np.ndarray):
+        """Byte offset of ``data`` inside the backing buffer, or None if
+        it is a heap span (works on reshaped/retyped views)."""
+        if self._backing is None:
+            return None
+        off = data.__array_interface__["data"][0] - self._base_ptr
+        return off if 0 <= off < self.nbyte_budget else None
+
+    def reserve_span(self, nbyte: int, timeout: float | None = None):
+        """Claim ``nbyte`` contiguous bytes of the backing buffer for the
+        caller to fill in place; blocks (backpressure) while the reader
+        still owns too much of the ring.  Returns a uint8 view, or None
+        on timeout/shutdown.  Publish with :meth:`commit_span`, or hand
+        back an unused reservation with :meth:`release_span`."""
+        if self._backing is None:
+            raise ValueError(f"ring {self.name} has no backing buffer")
+        if nbyte > self.nbyte_budget // 2:
+            raise ValueError("reservation larger than half the ring")
+        with self._lock:
+            def fits():
+                pad = (self.nbyte_budget - self._head
+                       if self._head + nbyte > self.nbyte_budget else 0)
+                return self._live + pad + nbyte <= self.nbyte_budget
+            ok = self._lock.wait_for(
+                lambda: self._shutdown or fits(), timeout=timeout)
+            if not ok or self._shutdown:
+                return None
+            pad = (self.nbyte_budget - self._head
+                   if self._head + nbyte > self.nbyte_budget else 0)
+            if pad:
+                self._head = 0
+            a = _Alloc(self._head, nbyte, pad)
+            self._allocs.append(a)
+            self._by_off[a.off] = a
+            self._head += nbyte
+            if self._head == self.nbyte_budget:
+                self._head = 0
+            self._live += pad + nbyte
+            return self._backing[a.off:a.off + nbyte]
+
+    def commit_span(self, seq: Sequence, data: np.ndarray) -> None:
+        """Publish a filled reservation (any view of it) as a span of
+        ``seq``.  No byte-budget accounting: the backing allocator IS
+        the budget for backed spans."""
+        with self._lock:
+            seq.spans.append(data)
+            seq.nbyte += data.nbytes
+            self._lock.notify_all()
+
+    def release_span(self, data: np.ndarray) -> None:
+        """Reader hands a backed span's memory back to the writer.  Out-
+        of-order releases (skipped gulps, partial windows) are held until
+        the FIFO head frees.  No-op for heap spans."""
+        off = self._span_off(data)
+        if off is None:
+            return
+        with self._lock:
+            a = self._by_off.get(off)
+            if a is None or a.freed:
+                return
+            a.freed = True
+            while self._allocs and self._allocs[0].freed:
+                a0 = self._allocs.popleft()
+                del self._by_off[a0.off]
+                self._live -= a0.pad + a0.nbyte
+            self._lock.notify_all()
+
+    def contiguous_view(self, spans) -> np.ndarray | None:
+        """If ``spans`` are byte-adjacent in the backing buffer, return
+        ONE flat uint8 view covering all of them (zero-copy window
+        assembly); else None (wrap edge or heap spans — caller copies)."""
+        if self._backing is None or not spans:
+            return None
+        off0 = self._span_off(spans[0])
+        if off0 is None:
+            return None
+        p = off0
+        for sp in spans:
+            if self._span_off(sp) != p:
+                return None
+            p += sp.nbytes
+        if p > self.nbyte_budget:
+            return None
+        return self._backing[off0:p]
 
     def end_sequence(self, seq: Sequence) -> None:
         with self._lock:
@@ -148,7 +276,11 @@ class Ring:
                     continue
                 span = seq.spans[idx]
                 seq.spans[idx] = None  # release retention
-                self._nbyte -= span.nbytes
+                if self._span_off(span) is None:
+                    # heap span: budget frees at hand-off (the reader got
+                    # a private array).  Backed spans free only at
+                    # release_span, once the device has consumed them.
+                    self._nbyte -= span.nbytes
                 self._lock.notify_all()
             idx += 1
             yield span

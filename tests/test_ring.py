@@ -80,3 +80,101 @@ def test_history_ring_wraparound_and_residency():
         h.snapshot(0, 4)  # evicted
     with pytest.raises(IndexError):
         h.snapshot(10, 8)  # beyond head
+
+
+# -- backed (contiguous) mode -----------------------------------------------
+
+
+def test_backed_reserve_commit_release_roundtrip():
+    """Zero-copy writer protocol: reservations land in the backing
+    buffer, commit publishes, release frees space for reuse."""
+    r = Ring("bk", nbyte_budget=256, backing=True)
+    seq = r.begin_sequence(1, {})
+    a = r.reserve_span(64, timeout=1.0)
+    assert a is not None and a.nbytes == 64
+    a[:] = 7
+    r.commit_span(seq, a)
+    b = r.reserve_span(64, timeout=1.0)
+    b[:] = 9
+    r.commit_span(seq, b)
+    r.end_sequence(seq)
+    r.shutdown()
+    seqs = list(r.read(timeout=1.0))
+    got = list(r.read_spans(seqs[0], timeout=1.0))
+    assert [g[0] for g in got] == [7, 9]
+    # adjacent reservations -> one contiguous zero-copy view
+    flat = r.contiguous_view(got)
+    assert flat is not None and flat.nbytes == 128
+    assert flat.base is not None  # a view, not a copy
+    np.testing.assert_array_equal(flat[:64], 7)
+    np.testing.assert_array_equal(flat[64:], 9)
+    for g in got:
+        r.release_span(g)
+
+
+def test_backed_backpressure_until_release():
+    """The writer blocks when the reader still owns the ring, and wakes
+    on release_span — guaranteed-read semantics at the allocator."""
+    r = Ring("bk2", nbyte_budget=256, backing=True)
+    seq = r.begin_sequence(1, {})
+    held = []
+    for _ in range(4):
+        v = r.reserve_span(64, timeout=1.0)
+        assert v is not None
+        r.commit_span(seq, v)
+        held.append(v)
+    t0 = time.monotonic()
+    assert r.reserve_span(64, timeout=0.2) is None
+    assert time.monotonic() - t0 >= 0.2
+
+    def release_later():
+        time.sleep(0.1)
+        r.release_span(held[0])
+
+    threading.Thread(target=release_later, daemon=True).start()
+    v = r.reserve_span(64, timeout=2.0)
+    assert v is not None  # woke when the head span freed
+
+
+def test_backed_out_of_order_release_and_wrap():
+    """Out-of-order frees are held until the FIFO head clears (skipped
+    gulps), and wrap-edge padding keeps reservations contiguous."""
+    r = Ring("bk3", nbyte_budget=160, backing=True)
+    a = r.reserve_span(64, timeout=1.0)
+    b = r.reserve_span(64, timeout=1.0)
+    r.release_span(b)                      # out of order: no space yet
+    assert r.reserve_span(64, timeout=0.1) is None
+    r.release_span(a)                      # head frees -> both reclaimed
+    c = r.reserve_span(64, timeout=1.0)    # wraps: pad 32B, restart at 0
+    assert c is not None
+    a2 = r.reserve_span(64, timeout=1.0)
+    assert a2 is not None
+    # c (off 0) and a2 (off 64) are adjacent; view spans both
+    assert r.contiguous_view([c, a2]) is not None
+    # but a wrap between spans breaks contiguity -> None (caller copies)
+    r.release_span(c)
+    r.release_span(a2)
+    d = r.reserve_span(64, timeout=1.0)    # off 128? no: pad to wrap
+    e = r.reserve_span(64, timeout=1.0)
+    if r._span_off(d) + 64 != r._span_off(e):
+        assert r.contiguous_view([d, e]) is None
+
+
+def test_backed_heap_spans_coexist():
+    """write_span (heap) spans still work on a backed ring and
+    release_span is a no-op for them."""
+    r = Ring("bk4", nbyte_budget=1 << 12, backing=True)
+    seq = r.begin_sequence(1, {})
+    heap = np.arange(32, dtype=np.uint8)
+    assert r.write_span(seq, heap)
+    v = r.reserve_span(32, timeout=1.0)
+    v[:] = 1
+    r.commit_span(seq, v)
+    r.end_sequence(seq)
+    r.shutdown()
+    got = list(r.read_spans(list(r.read(timeout=1.0))[0], timeout=1.0))
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0], heap)
+    r.release_span(got[0])  # heap: no-op
+    r.release_span(got[1])
+    assert r.contiguous_view(got) is None  # mixed -> not contiguous
