@@ -64,6 +64,13 @@ class XEngineConfig:
     # fused FIR+DFT+requant kernel: measured 63.9 -> 23.1 ms ("high") /
     # 8.0 ms ("bf16") per 2400-spectra block on TPU)
     pfb_engine: str = "xla"
+    # FX-mode raw ADC sample dtype: "float32" or "int8".  The physical
+    # ADC is 8 bits (reference digitizers; SURVEY.md F-engine input),
+    # so int8 is the production-faithful choice AND quarters every
+    # ADC-sized data motion: host staging, H2D, the PFB kernel's HBM
+    # read, and the sharded halo exchange.  int8 -> f32 is exact, so
+    # products are bit-identical to feeding the same values as f32.
+    adc_dtype: str = "float32"
 
     def __post_init__(self):
         if self.acc_len % self.ntime_gulp != 0:
@@ -94,6 +101,8 @@ class XEngineConfig:
                 f"unknown pfb_precision {self.pfb_precision!r}")
         if self.pfb_engine not in ("xla", "pallas"):
             raise ValueError(f"unknown pfb_engine {self.pfb_engine!r}")
+        if self.adc_dtype not in ("float32", "int8"):
+            raise ValueError(f"unknown adc_dtype {self.adc_dtype!r}")
 
     # ---- derived quantities -------------------------------------------------
 
@@ -134,6 +143,13 @@ class XEngineConfig:
     def gulp_nbyte(self) -> int:
         """Bytes per input gulp of packed 4+4-bit samples."""
         return self.ntime_gulp * self.nchan * self.ninput
+
+    @property
+    def adc_np_dtype(self):
+        """FX-mode raw ADC numpy dtype (np.float32 or np.int8)."""
+        import numpy as np
+
+        return np.dtype(self.adc_dtype)
 
     @property
     def input_gbps(self) -> float:

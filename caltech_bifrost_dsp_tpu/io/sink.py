@@ -430,9 +430,11 @@ class TriggeredDump:
         start = self.ring.earliest()
         hdr0 = self.ring.header
         # samples per ring frame (frames are gulp-shaped); ADC-mode
-        # frames hold f32 samples of [ninput] (no channel axis)
+        # frames hold f32 or int8 samples (header nbit) of [ninput]
+        # (no channel axis)
         if hdr0.get("adc"):
-            sample_nbyte = 4 * hdr0.get("nstand", 1) * hdr0.get("npol", 1)
+            sample_nbyte = (hdr0.get("nbit", 32) // 8
+                            * hdr0.get("nstand", 1) * hdr0.get("npol", 1))
         else:
             sample_nbyte = (hdr0.get("nchan", 1) * hdr0.get("nstand", 1)
                             * hdr0.get("npol", 1)) or 1

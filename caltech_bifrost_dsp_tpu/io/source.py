@@ -174,9 +174,11 @@ class DummySource:
 class ADCSource:
     """Raw ADC sample generator for the FX (channelizer-included) mode.
 
-    Emits f32 gulps of ``ntime_gulp * 2 * nchan`` ADC samples per
-    correlator gulp, [nsamp, ninput].  Modes: 'noise', or 'tone' placing
-    a sinusoid in channel ``tone_chan`` on every input.
+    Emits gulps of ``ntime_gulp * 2 * nchan`` ADC samples per correlator
+    gulp, [nsamp, ninput], in ``cfg.adc_dtype`` (f32, or int8 — the
+    production-faithful 8-bit digitizer path, where the synthetic signal
+    is rounded to integer ADC counts).  Modes: 'noise', or 'tone'
+    placing a sinusoid in channel ``tone_chan`` on every input.
     """
 
     def __init__(self, cfg: XEngineConfig, mode: str = "noise",
@@ -186,27 +188,36 @@ class ADCSource:
         self.mode = mode
         self.tone_chan = tone_chan
         self.amplitude = amplitude
+        self.dtype = cfg.adc_np_dtype
         self._rng = np.random.RandomState(seed)
         self.samples_per_gulp = cfg.ntime_gulp * 2 * cfg.nchan
         self._fill_i = 0
 
     def header(self, seq0: int = 0, **kw) -> dict:
         h = sequence_header(self.cfg, seq0, **kw)
-        h["nbit"] = 32
+        h["nbit"] = 8 * self.dtype.itemsize
         h["adc"] = True
         return h
 
-    def gulp(self, index: int) -> np.ndarray:
+    def _cast(self, x: np.ndarray) -> np.ndarray:
+        if self.dtype == np.int8:
+            return np.clip(np.rint(x), -127, 127).astype(np.int8)
+        return x.astype(np.float32)
+
+    def _signal(self, index: int) -> np.ndarray:
         cfg = self.cfg
         n = self.samples_per_gulp
         if self.mode == "tone":
             t = np.arange(index * n, (index + 1) * n, dtype=np.float64)
             x = self.amplitude * np.cos(
                 2 * np.pi * self.tone_chan / (2 * cfg.nchan) * t)
-            return np.broadcast_to(
-                x[:, None].astype(np.float32), (n, cfg.ninput)).copy()
-        return (self._rng.standard_normal([n, cfg.ninput])
-                * self.amplitude).astype(np.float32)
+            return np.broadcast_to(self._cast(x)[:, None],
+                                   (n, cfg.ninput))
+        return self._cast(self._rng.standard_normal([n, cfg.ninput])
+                          * self.amplitude)
+
+    def gulp(self, index: int) -> np.ndarray:
+        return np.ascontiguousarray(self._signal(index))
 
     def stream(self, ngulp: int, seq0: int = 0):
         i = 0
@@ -216,20 +227,13 @@ class ADCSource:
 
     def fill_into(self, dest: np.ndarray):
         """Zero-copy source protocol (see DummySource.fill_into): write
-        the next f32 ADC gulp into the caller's staging reservation."""
+        the next ADC gulp into the caller's staging reservation."""
         cfg = self.cfg
         n = self.samples_per_gulp
-        out = dest.view(np.float32).reshape(n, cfg.ninput)
+        out = dest.view(self.dtype).reshape(n, cfg.ninput)
         i = self._fill_i
         self._fill_i += 1
-        if self.mode == "tone":
-            t = np.arange(i * n, (i + 1) * n, dtype=np.float64)
-            x = self.amplitude * np.cos(
-                2 * np.pi * self.tone_chan / (2 * cfg.nchan) * t)
-            out[...] = x[:, None].astype(np.float32)
-        else:
-            out[...] = (self._rng.standard_normal([n, cfg.ninput])
-                        * self.amplitude).astype(np.float32)
+        out[...] = self._signal(i)
         return i * cfg.ntime_gulp
 
 
@@ -257,7 +261,8 @@ class TriggerFileSource:
             raw = fh.read(self.payload_nbyte)
         h = self.header
         if h.get("adc"):
-            data = np.frombuffer(raw, np.float32)
+            adc_dt = np.int8 if h.get("nbit", 32) == 8 else np.float32
+            data = np.frombuffer(raw, adc_dt)
             return h, data.reshape(h["ntime"], h["nstand"] * h["npol"])
         data = np.frombuffer(raw, np.uint8)
         shape = (h["ntime"], h["nchan"], h["nstand"] * h["npol"])

@@ -157,9 +157,11 @@ def fx_step(state: XEngineState,
     """FX variant: raw ADC samples -> PFB -> 4-bit requant -> X/B step.
 
     Args:
-      adc: f32 [(ntime_gulp + pfb_ntap - 1) * 2 * nchan, ninput] real ADC
-        samples (overlap of ntap-1 frames with the previous gulp — the
-        halo that time-sharded operation exchanges between shards).
+      adc: f32 or int8 [(ntime_gulp + pfb_ntap - 1) * 2 * nchan, ninput]
+        real ADC samples (overlap of ntap-1 frames with the previous
+        gulp — the halo that time-sharded operation exchanges between
+        shards).  int8 is the production digitizer width; products are
+        bit-identical to the same values in f32 at 4x less traffic.
       window: f32 [pfb_ntap, 2*nchan] PFB prototype filter.
       quant_scale: f32 scalar requantization gain.
     """

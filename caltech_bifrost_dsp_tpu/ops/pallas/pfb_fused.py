@@ -47,6 +47,22 @@ def _choose_ti(ninput: int, cap: int = 8) -> int:
     return 1
 
 
+def _default_tiles(x_dtype, nspec: int, ninput: int,
+                   factored: bool) -> tuple[int | None, int]:
+    """(ts, ti) policy per input dtype.
+
+    int8 input slabs are 4x smaller in VMEM, so the input tile grows to
+    a full int8 sublane tile (32) — which also keeps the strided slab
+    DMA on int8 tiling boundaries — while the spectra tile shrinks to
+    hold the f32 FIR intermediate at the same footprint."""
+    if factored:
+        return _choose_ts(nspec, cap=8), _choose_ti(ninput)
+    if x_dtype == jnp.int8:
+        ti = _choose_ti(ninput, cap=32)
+        return _choose_ts(nspec, cap=40), ti
+    return _choose_ts(nspec, cap=128), _choose_ti(ninput)
+
+
 def tiling_viable(nspec: int, ninput: int, nchan: int = 0) -> bool:
     """Whether the fused kernel can tile these dimensions (the factored
     F-engine-scale branch caps the spectra tile at 8)."""
@@ -113,7 +129,11 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
             get_dma((s + 1) % 2, s + 1).start()
 
         get_dma(slot, s).wait()
-        frames = xbuf[slot].reshape(ti, ts + ntap - 1, L)
+        # ONE whole-slab convert (no-op for f32): converting per tap
+        # slice instead costs ntap sliced int8 relayouts, measured
+        # slower than the f32 input path outright
+        ff = xbuf[slot].astype(jnp.float32)
+        frames = ff.reshape(ti, ts + ntap - 1, L)
         fir = frames[:, 0:ts, :] * w_ref[0]
         for k in range(1, ntap):
             fir += frames[:, k:k + ts, :] * w_ref[k]
@@ -165,7 +185,8 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
             get_dma((s + 1) % 2, s + 1).start()
 
         get_dma(slot, s).wait()
-        frames = xbuf[slot].reshape(ti, ts + ntap - 1, L)
+        ff = xbuf[slot].astype(jnp.float32)
+        frames = ff.reshape(ti, ts + ntap - 1, L)
         fir = frames[:, 0:ts, :] * w_ref[0]
         for k in range(1, ntap):
             fir += frames[:, k:k + ts, :] * w_ref[k]
@@ -198,16 +219,20 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nchan", "ntap", "ti",
+@functools.partial(jax.jit, static_argnames=("nchan", "ntap", "ti", "ts",
                                              "fast", "interpret"))
 def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                                nchan: int, ntap: int, scale,
-                               ti: int | None = None, fast: bool = False,
+                               ti: int | None = None,
+                               ts: int | None = None,
+                               fast: bool = False,
                                interpret: bool = False) -> jax.Array:
     """Fused PFB + 4-bit requant.
 
     Args:
-      x: f32 ADC samples [ntime, ninput],
+      x: ADC samples [ntime, ninput], f32 or int8 (the production ADC
+        is 8 bits — int8 input quarters the kernel's HBM read, the
+        only traffic that matters at pipeline scale),
         ntime == (nspec + ntap - 1) * 2 * nchan.
       window: f32 [ntap, 2*nchan] prototype filter.
       scale: scalar or per-channel [nchan] requant gain.
@@ -223,6 +248,9 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
 
     from ..pfb import _dft_factors, _rdft_factored_tables, rdft_matrices
 
+    if x.dtype not in (jnp.float32, jnp.int8):
+        raise ValueError(f"adc dtype must be float32 or int8, "
+                         f"got {x.dtype}")
     L = 2 * nchan
     ntime, ninput = x.shape
     if ntime % L:
@@ -232,9 +260,12 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
     # factored scale: the ~6 live [R, L1, L2] f32 intermediates plus
     # fir and the double-buffered slab must fit the 16 MB VMEM, so both
     # tile dims shrink (measured: ti=8/ts=8 at L=8192 overflows by 13 MB)
-    ts = _choose_ts(nspec, cap=8 if factors else 128)
+    ts_default, ti_default = _default_tiles(x.dtype, nspec, ninput,
+                                            factors is not None)
+    if ts is None:
+        ts = ts_default
     if ti is None:
-        ti = _choose_ti(ninput)
+        ti = ti_default
     if ts is None or ninput % ti:
         raise ValueError(f"no viable tiling for nspec={nspec}, "
                          f"ninput={ninput}")
@@ -274,7 +305,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
             out_shape=jax.ShapeDtypeStruct(
                 (ninput, nspec, L2, L1 // 2), jnp.uint8),
             scratch_shapes=[
-                pltpu.VMEM((2, ti, slab_shape), jnp.float32),
+                pltpu.VMEM((2, ti, slab_shape), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -284,7 +315,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                 vmem_limit_bytes=64 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=2 * ninput * nspec * L * (ntap + L1 + 2 * L2),
-                bytes_accessed=(4 * ninput * ntime
+                bytes_accessed=(x.dtype.itemsize * ninput * ntime
                                 + ninput * nspec * nchan),
                 transcendentals=0),
         )(xt, window, c2, s2, twr, twi, c1, s1, sc_kernel)
@@ -314,13 +345,18 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         out_shape=jax.ShapeDtypeStruct((ninput, nspec, nchan),
                                        jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, ti, slab), jnp.float32),
+            pltpu.VMEM((2, ti, slab), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        # int8 input at ti=32 carries ~2.6 MB of live f32 FIR + DFT
+        # intermediates on top of the slab — above the 16 MB default
+        # only at wide ts, but the explicit cap is cheap insurance
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * ninput * nspec * L * (ntap + 2 * nchan),
-            bytes_accessed=(4 * ninput * ntime
+            bytes_accessed=(x.dtype.itemsize * ninput * ntime
                             + ninput * nspec * nchan),
             transcendentals=0),
     )(xt, window, cos_m, msin_m, sc.reshape(1, nchan))

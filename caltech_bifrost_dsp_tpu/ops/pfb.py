@@ -182,9 +182,11 @@ def pfb_channelize(x: jax.Array, window: jax.Array, nchan: int,
     tail = x.shape[1:]
     frames = x.reshape((nframe, L) + tail)
     # FIR as a sum of ntap shifted frame views (NOT a gather, which would
-    # materialize ntap copies of the input — 10+ GB at full scale)
+    # materialize ntap copies of the input — 10+ GB at full scale);
+    # int8 ADC input converts per-slice, fused into the multiply
     wshape = (1, L) + (1,) * len(tail)
-    fir = sum(frames[k:k + nspec] * window[k].reshape(wshape)
+    fir = sum(frames[k:k + nspec].astype(jnp.float32)
+              * window[k].reshape(wshape)
               for k in range(ntap))           # [nspec, L, ...]
     if fft_impl == "matmul":
         # Real DFT as MXU matmuls — avoids the FFT lowering (the axon
@@ -224,7 +226,8 @@ def pfb_channelize_planes(x: jax.Array, window: jax.Array, nchan: int,
     tail = x.shape[1:]
     frames = x.reshape((nframe, L) + tail)
     wshape = (1, L) + (1,) * len(tail)
-    fir = sum(frames[k:k + nspec] * window[k].reshape(wshape)
+    fir = sum(frames[k:k + nspec].astype(jnp.float32)
+              * window[k].reshape(wshape)
               for k in range(ntap))           # [nspec, L, ...]
     fir2 = jnp.moveaxis(fir, 1, -1)           # [nspec, ..., L]
     re, im = _rdft_apply(fir2, nchan)
@@ -268,8 +271,9 @@ def pfb_channelize_planes_imajor(x: jax.Array, window: jax.Array,
     nspec = nframe - (ntap - 1)
     if nspec <= 0:
         raise ValueError("not enough samples for one spectrum")
-    frames = x.T.reshape(ninput, nframe, L)
-    fir = sum(frames[:, k:k + nspec, :] * window[k][None, None, :]
+    frames = x.T.reshape(ninput, nframe, L)   # int8 transposes 4x cheaper
+    fir = sum(frames[:, k:k + nspec, :].astype(jnp.float32)
+              * window[k][None, None, :]
               for k in range(ntap))               # [ninput, nspec, L]
     if precision == "bf16" and _dft_factors(L) is None:
         cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))

@@ -97,7 +97,7 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     """Build the sharded FX+B step over ``mesh``.
 
     Global shapes:
-      adc:    f32 [ntime_total, ninput]  — sharded [time, chan(inputs)]
+      adc:    f32/int8 [ntime_total, ninput] — sharded [time, chan(inputs)]
       window: f32 [ntap, 2*nchan]        — replicated
       gains:  BeamGains [nchan, nbeam, ninput] — chan-sharded
       pairs:  int32 [nvis_out, 2]        — replicated
@@ -364,8 +364,8 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
 
     Global shapes:
       state planes: int32 [nchan, ninput, ninput] (chan-sharded)
-      adc:        f32 [T, ninput]            — sharded [time, chan(inputs)]
-      carry_tail: f32 [(ntap-1)*2*nchan, ninput] — input-sharded on 'chan'
+      adc:        f32/int8 [T, ninput]       — sharded [time, chan(inputs)]
+      carry_tail: adc dtype [(ntap-1)*2*nchan, ninput] — input-sharded on 'chan'
       window:     f32 [ntap, 2*nchan]        — replicated
       gains:      BeamGains [nchan, nbeam, ninput] — chan-sharded
       pairs:      int32 [nvis_out, 2]        — replicated

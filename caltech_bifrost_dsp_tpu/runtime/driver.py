@@ -399,7 +399,10 @@ class XEnginePipeline:
         # the wrap edge (a straddle falls back to a 325 MB copy at
         # production shape): 3 windows = one held by the compute
         # thread, two of ingest headroom.
-        raw_gulp = cfg.gulp_nbyte * (8 if fx_mode else 1)
+        # FX raw gulps hold 2*nchan ADC samples per packed byte slot:
+        # 2 * itemsize x the packed size (8x for f32, 2x for int8)
+        raw_gulp = cfg.gulp_nbyte * (
+            2 * cfg.adc_np_dtype.itemsize if fx_mode else 1)
         self._raw_gulp_nbyte = raw_gulp
         win_gulps = max(1, cfg.acc_len // cfg.ntime_gulp)
         nwin = max(3, -(-(1 << 22) // (win_gulps * raw_gulp)))
@@ -409,8 +412,9 @@ class XEnginePipeline:
         self.history = None
         self.dump_cmd = None
         if history_nbyte:
-            # FX mode buffers raw f32 ADC frames (8x the packed size)
-            frame_nbyte = (cfg.ntime_gulp * 2 * cfg.nchan * cfg.ninput * 4
+            # FX mode buffers raw ADC frames (2 * itemsize x packed size)
+            frame_nbyte = (cfg.ntime_gulp * 2 * cfg.nchan * cfg.ninput
+                           * cfg.adc_np_dtype.itemsize
                            if fx_mode else cfg.gulp_nbyte)
             self.history = HistoryRing(history_nbyte,
                                        frame_nbyte=frame_nbyte)
@@ -458,7 +462,7 @@ class XEnginePipeline:
                 pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
             self._adc_tail = np.zeros(
                 ((cfg.pfb_ntap - 1) * 2 * cfg.nchan, cfg.ninput),
-                np.float32)
+                cfg.adc_np_dtype)
         # optional multi-chip execution: the fused step runs shard_map'd
         # over a ('time','chan') mesh with chan-sharded accumulators
         # (parallel/mesh.xengine_sharded_state_fn); flag-specialized jits
@@ -560,7 +564,7 @@ class XEnginePipeline:
                     return
                 continue
             if self.fx_mode:
-                gulp = dest.view(np.float32).reshape(-1, cfg.ninput)
+                gulp = dest.view(cfg.adc_np_dtype).reshape(-1, cfg.ninput)
             else:
                 gulp = dest.reshape(cfg.ntime_gulp, cfg.nchan,
                                     cfg.ninput)

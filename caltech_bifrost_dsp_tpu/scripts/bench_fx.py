@@ -37,8 +37,11 @@ def bench_fengine(args) -> int:
     L = 2 * nchan
     rng = np.random.RandomState(0)
     nadc = (nspec + ntap - 1) * L
-    adc = jnp.asarray((rng.standard_normal([nadc, ninput]) * 3)
-                      .astype(np.float32))
+    sig = rng.standard_normal([nadc, ninput]) * (
+        30 if args.adc_dtype == "int8" else 3)
+    adc = jnp.asarray(np.clip(np.rint(sig), -127, 127).astype(np.int8)
+                      if args.adc_dtype == "int8"
+                      else sig.astype(np.float32))
     window = jnp.asarray(pfb_ops.pfb_window(nchan, ntap))
 
     if args.fft_impl == "matmul":
@@ -106,6 +109,10 @@ def main(argv=None) -> int:
                    choices=["high", "bf16"])
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"])
+    p.add_argument("--adc-dtype", type=str, default="float32",
+                   choices=["float32", "int8"],
+                   help="raw ADC dtype (int8 = production digitizer "
+                        "width: 4x less H2D/staging/halo traffic)")
     p.add_argument("--fengine", action="store_true",
                    help="benchmark the F-engine operating point instead: "
                         "4096-channel PFB + 4-bit requant over all 704 "
@@ -123,12 +130,16 @@ def main(argv=None) -> int:
 
     cfg = LWA352.replace(pfb_fft_impl=args.fft_impl,
                          pfb_precision=args.pfb_precision,
-                         pfb_engine=args.pfb_engine)
+                         pfb_engine=args.pfb_engine,
+                         adc_dtype=args.adc_dtype)
     state, _, gains, pairs = xengine.default_inputs(cfg)
     rng = np.random.RandomState(0)
     nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan
-    adc = jnp.asarray((rng.standard_normal([nadc, cfg.ninput]) * 3)
-                      .astype(np.float32))
+    sig = rng.standard_normal([nadc, cfg.ninput]) * (
+        30 if args.adc_dtype == "int8" else 3)
+    adc = jnp.asarray(np.clip(np.rint(sig), -127, 127).astype(np.int8)
+                      if args.adc_dtype == "int8"
+                      else sig.astype(np.float32))
     window = jnp.asarray(pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
 
     @jax.jit

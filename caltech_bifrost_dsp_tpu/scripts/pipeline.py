@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused Pallas FIR+DFT+requant kernel")
     p.add_argument("--pfb-precision", type=str, default="high",
                    choices=["high", "bf16"])
+    p.add_argument("--adc-dtype", type=str, default="float32",
+                   choices=["float32", "int8"],
+                   help="FX-mode raw ADC sample dtype; int8 is the "
+                        "production-faithful 8-bit digitizer path (4x "
+                        "less staging/H2D/HBM/halo traffic, products "
+                        "bit-identical for integer-valued input)")
     p.add_argument("--quant-scale", type=float, default=1.0,
                    help="FX-mode 4-bit requantization gain")
     p.add_argument("--eq-gains", type=str, default=None, metavar="FILE",
@@ -130,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'eq_gains' command key)")
     p.add_argument("--fx-tone-chan", type=int, default=-1,
                    help="FX fakesource: put a test tone in this channel")
+    p.add_argument("--adc-amplitude", type=float, default=None,
+                   help="FX fakesource signal amplitude in ADC units "
+                        "(default 4.0 for float32, 32.0 for int8 — "
+                        "integer ADC counts need headroom above the "
+                        "rounding step)")
     p.add_argument("--mesh", type=str, default=None, metavar="TIMExCHAN",
                    help="run the fused step sharded over a device mesh, "
                         "e.g. '2x4' (time x chan axes)")
@@ -147,7 +158,7 @@ def build_pipeline(args, log) -> XEnginePipeline:
         ntime_gulp=args.ntime_gulp, acc_len=args.acc_len,
         acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
         pfb_fft_impl=args.pfb_impl, pfb_engine=args.pfb_engine,
-        pfb_precision=args.pfb_precision)
+        pfb_precision=args.pfb_precision, adc_dtype=args.adc_dtype)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 
@@ -155,11 +166,15 @@ def build_pipeline(args, log) -> XEnginePipeline:
         if not args.fakesource:
             raise SystemExit("FX mode currently requires --fakesource "
                              "(ADC capture hardware is external)")
+        amp = args.adc_amplitude
+        if amp is None:
+            amp = 32.0 if args.adc_dtype == "int8" else 4.0
         if args.fx_tone_chan >= 0:
             src = source.ADCSource(cfg, mode="tone",
-                                   tone_chan=args.fx_tone_chan)
+                                   tone_chan=args.fx_tone_chan,
+                                   amplitude=amp)
         else:
-            src = source.ADCSource(cfg, mode="noise")
+            src = source.ADCSource(cfg, mode="noise", amplitude=amp)
     elif args.fakesource:
         if args.testdatain:
             src = source.DummySource(

@@ -187,3 +187,50 @@ def test_fx_pipeline_with_eq_gains_vector():
     auto_plain = np.real(dumps2[-1][TONE_CHAN, 0, 0])
     # 2x voltage gain -> ~4x autocorrelation power (quantized, so loose)
     assert auto_eq > 2.5 * auto_plain, (auto_eq, auto_plain)
+
+
+def test_fx_pipeline_int8_adc():
+    """FX mode with adc_dtype='int8' (production 8-bit digitizer): the
+    whole chain — int8 staging ring views, int8 host tail carry, int8
+    device input — runs end-to-end and the tone lands in its channel."""
+    cfg = CFG.replace(adc_dtype="int8", pfb_fft_impl="matmul")
+    src = source.ADCSource(cfg, mode="tone", tone_chan=TONE_CHAN,
+                           amplitude=50.0)
+    assert src.gulp(0).dtype == np.int8
+    dumps = []
+
+    class Grab:
+        checkfile = None
+
+        def send_matrix(self, dense, *a, **k):
+            dumps.append(np.array(dense))
+            return 0
+
+    pipe = XEnginePipeline(cfg, src, corr_outputs=[Grab()],
+                           quant_scale=0.2, fx_mode=True)
+    pipe.run(cfg.acc_len_slow // cfg.ntime_gulp, timeout_s=300)
+    assert len(dumps) == 1
+    vis = dumps[0]
+    autos = np.real(vis[:, 0, 0])
+    assert autos.argmax() == TONE_CHAN
+    np.testing.assert_array_equal(
+        vis, np.conj(np.swapaxes(vis, 1, 2)))
+
+
+def test_fx_triggered_dump_replays_int8_adc(tmp_path):
+    """Deep-buffer dump + replay round-trips int8 ADC frames."""
+    cfg = CFG.replace(adc_dtype="int8")
+    src = source.ADCSource(cfg, mode="tone", tone_chan=3, amplitude=50.0)
+    pipe = XEnginePipeline(cfg, src, fx_mode=True,
+                           history_nbyte=8 * cfg.ntime_gulp * 2
+                           * cfg.nchan * cfg.ninput)
+    pipe.run(4, timeout_s=300)
+    files = pipe.dumper.trigger(
+        ntime_per_file=cfg.ntime_gulp * 2 * cfg.nchan, nfile=1,
+        dump_path=str(tmp_path))
+    assert files
+    hdr, data = source.TriggerFileSource(files[0]).read()
+    assert hdr.get("adc") and data.dtype == np.int8
+    want = source.ADCSource(cfg, mode="tone", tone_chan=3,
+                            amplitude=50.0).gulp(0)
+    np.testing.assert_array_equal(data[:want.shape[0]], want)

@@ -73,3 +73,68 @@ def test_channelize_dispatch_falls_back_on_unviable_factored_tiling(rng):
     got = np.asarray(pfb.channelize_pack_imajor(
         jnp.asarray(x), jnp.asarray(w), cfg, 0.5))
     np.testing.assert_array_equal(got, _want(x, w, nchan, ntap, 0.5))
+
+
+def test_fused_kernel_int8_matches_f32(rng):
+    """int8 ADC input (the production digitizer width) is bit-identical
+    to feeding the same values as f32, in both DFT precisions and with
+    a per-channel scale, and under the int8 tile policy (ti=32)."""
+    nchan, ntap, nspec, ninput = 192, 4, 48, 64
+    L = 2 * nchan
+    x8 = rng.randint(-100, 100,
+                     [(nspec + ntap - 1) * L, ninput]).astype(np.int8)
+    w = pfb.pfb_window(nchan, ntap)
+    sc = rng.uniform(0.02, 0.05, nchan).astype(np.float32)
+    got_high = None
+    for fast in (False, True):
+        got8 = np.asarray(pfb_quantize_packed_pallas(
+            jnp.asarray(x8), jnp.asarray(w), nchan, ntap,
+            jnp.asarray(sc), fast=fast, interpret=True))
+        got32 = np.asarray(pfb_quantize_packed_pallas(
+            jnp.asarray(x8, jnp.float32), jnp.asarray(w), nchan, ntap,
+            jnp.asarray(sc), fast=fast, interpret=True))
+        np.testing.assert_array_equal(got8, got32)
+        if not fast:
+            got_high = got8
+    np.testing.assert_array_equal(
+        got_high, _want(x8.astype(np.float32), w, nchan, ntap, sc))
+
+
+def test_fused_kernel_int8_factored_fengine(rng):
+    """int8 input through the factored F-engine-scale branch is
+    bit-identical to the same values fed as f32 (vs the XLA path a
+    rare off-by-one-quant-step round-at-threshold difference is
+    expected between the two HIGH-precision summation orders, so the
+    cross-engine check lives in the f32 factored test above)."""
+    nchan, ntap, nspec, ninput = 4096, 4, 8, 2
+    L = 2 * nchan
+    x8 = rng.randint(-100, 100,
+                     [(nspec + ntap - 1) * L, ninput]).astype(np.int8)
+    w = pfb.pfb_window(nchan, ntap)
+    got8 = np.asarray(pfb_quantize_packed_pallas(
+        jnp.asarray(x8), jnp.asarray(w), nchan, ntap, 0.5,
+        interpret=True))
+    got32 = np.asarray(pfb_quantize_packed_pallas(
+        jnp.asarray(x8, jnp.float32), jnp.asarray(w), nchan, ntap, 0.5,
+        interpret=True))
+    np.testing.assert_array_equal(got8, got32)
+
+
+def test_xla_paths_int8_matches_f32(rng):
+    """The XLA channelizer paths accept int8 ADC with exact results."""
+    nchan, ntap, nspec, ninput = 16, 4, 12, 6
+    L = 2 * nchan
+    x8 = rng.randint(-100, 100,
+                     [(nspec + ntap - 1) * L, ninput]).astype(np.int8)
+    w = jnp.asarray(pfb.pfb_window(nchan, ntap))
+    r8, i8 = pfb.pfb_channelize_planes_imajor(jnp.asarray(x8), w,
+                                              nchan, ntap)
+    r32, i32 = pfb.pfb_channelize_planes_imajor(
+        jnp.asarray(x8, jnp.float32), w, nchan, ntap)
+    np.testing.assert_array_equal(np.asarray(r8), np.asarray(r32))
+    np.testing.assert_array_equal(np.asarray(i8), np.asarray(i32))
+    s8 = pfb.pfb_channelize(jnp.asarray(x8), w, nchan, ntap,
+                            fft_impl="matmul")
+    s32 = pfb.pfb_channelize(jnp.asarray(x8, jnp.float32), w, nchan,
+                             ntap, fft_impl="matmul")
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s32))

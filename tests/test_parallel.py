@@ -163,3 +163,26 @@ def test_xengine_sharded_matches_unsharded(rng):
     beams = bf.beamform_gulp(packed, gains)
     ref_power = np.asarray(bf.beam_power_sum(beams, CFG.ntime_sum))
     np.testing.assert_allclose(power, ref_power, rtol=1e-3, atol=1e-2)
+
+
+def test_fx_sharded_int8_adc_matches_f32(rng):
+    """int8 ADC through the sharded FX program (ppermute halo and
+    all_to_all ride the 4x-smaller int8/packed bytes) is exactly equal
+    to the same values fed as f32."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 virtual devices")
+    cfg = CFG.replace(pfb_fft_impl="matmul", adc_dtype="int8")
+    mesh = pmesh.make_mesh(2, 4)
+    nspec_total = 8 * CFG.ntime_sum
+    adc, window, gains, pairs = _fx_inputs(rng, nspec_total)
+    adc8 = jnp.asarray(np.clip(np.rint(np.asarray(adc) * 10), -127, 127)
+                       .astype(np.int8))
+    fn = jax.jit(pmesh.fx_sharded_fn(cfg, mesh))
+    with jax.set_mesh(mesh):
+        out8 = fn(adc8, window, gains, pairs, jnp.float32(0.2))
+        out32 = fn(adc8.astype(jnp.float32), window, gains, pairs,
+                   jnp.float32(0.2))
+        np.testing.assert_array_equal(np.asarray(out8.vis.real),
+                                      np.asarray(out32.vis.real))
+        np.testing.assert_array_equal(np.asarray(out8.vis.imag),
+                                      np.asarray(out32.vis.imag))
