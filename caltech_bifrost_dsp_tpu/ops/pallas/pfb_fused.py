@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _choose_ts(nspec: int, cap: int = 128) -> int | None:
@@ -58,8 +59,11 @@ def _default_tiles(x_dtype, nspec: int, ninput: int,
     if factored:
         return _choose_ts(nspec, cap=8), _choose_ti(ninput)
     if x_dtype == jnp.int8:
+        # measured fastest at ti=32/ts=120 (10.44 ms harness vs 10.57
+        # at ts=40); the ~22 MB of live f32 intermediates ride on the
+        # explicit 64 MB vmem budget
         ti = _choose_ti(ninput, cap=32)
-        return _choose_ts(nspec, cap=40), ti
+        return _choose_ts(nspec, cap=120), ti
     return _choose_ts(nspec, cap=128), _choose_ti(ninput)
 
 
@@ -105,8 +109,7 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
 
     slab = (ts + ntap - 1) * L
 
-    def kernel(xt_ref, w_ref, cos_ref, msin_ref, scale_ref, out_ref,
-               xbuf, sems):
+    def kernel(xt_ref, w_ref, cm_ref, scale_ref, out_ref, xbuf, sems):
         i = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -140,8 +143,14 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
         f2 = fir.reshape(ti * ts, L)
         dot = _make_dot(fast)
         dn2 = (((1,), (0,)), ((), ()))
-        re = dot(f2, cos_ref[:], dn2)
-        im = dot(f2, msin_ref[:], dn2)
+        # ONE [R, L] x [L, 2*nchan] matmul for re|im (the cos and -sin
+        # tables ride side by side; each output column is an
+        # independent dot product, so the results are bit-identical to
+        # two matmuls) — measured ~0.9 ms/window faster than two
+        # [L, nchan] passes at production shape
+        both = dot(f2, cm_ref[:], dn2)
+        re = both[:, 0:nchan]
+        im = both[:, nchan:]
         sc = scale_ref[0]
         r = jnp.clip(jnp.round(re * sc), -8, 7).astype(jnp.int32)
         q = jnp.clip(jnp.round(im * sc), -8, 7).astype(jnp.int32)
@@ -163,8 +172,8 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
 
     slab = (ts + ntap - 1) * L
 
-    def kernel(xt_ref, w_ref, c2_ref, s2_ref, twr_ref, twi_ref, c1_ref,
-               s1_ref, scale_ref, out_ref, xbuf, sems):
+    def kernel(xt_ref, w_ref, cs2_ref, twr_ref, twi_ref, cs1_ref,
+               scale_ref, out_ref, xbuf, sems):
         i = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -197,15 +206,21 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
         dn_mid = (((1,), (0,)), ((), ()))
         dot = _make_dot(fast)
 
-        # contract n2 -> [R, L1(n1), L2(k2)]
-        sr = dot(x3, c2_ref[:], dn_mid)
-        si = dot(x3, s2_ref[:], dn_mid)
+        # contract n2 -> [R, L1(n1), L2(k2)]; cos|(-sin) tables ride
+        # side by side in ONE matmul (independent output columns =>
+        # bit-identical to two passes, fewer MXU invocations)
+        both2 = dot(x3, cs2_ref[:], dn_mid)
+        sr = both2[..., 0:L2]
+        si = both2[..., L2:]
         # complex twiddle (sr + i si) * (twr + i twi), tables [L1, L2]
         tr = sr * twr_ref[:] - si * twi_ref[:]
         ti_ = sr * twi_ref[:] + si * twr_ref[:]
-        # outer DFT over n1 (middle axis): [R, L1, L2] x [L1, L1h]
-        xr = dot(tr, c1_ref[:], dn_mid) + dot(ti_, s1_ref[:], dn_mid)
-        xi = dot(ti_, c1_ref[:], dn_mid) - dot(tr, s1_ref[:], dn_mid)
+        # outer DFT over n1 (middle axis): [R, L1, L2] x [L1, L1h|L1h]
+        h = L1 // 2
+        tc = dot(tr, cs1_ref[:], dn_mid)
+        td = dot(ti_, cs1_ref[:], dn_mid)
+        xr = tc[..., 0:h] + td[..., h:]
+        xi = td[..., 0:h] - tc[..., h:]
         # [R, L2(k2), L1h(k1)]; k = k1*L2 + k2 — the k-axis reorder
         # happens OUTSIDE on the packed bytes (Mosaic cannot shape-cast
         # the transposed vector; XLA reorders the uint8 cheaply).
@@ -278,13 +293,16 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
     if factors is not None:
         L1, L2 = factors
         tables, _ = _rdft_factored_tables(nchan)
-        c2, s2, twr, twi, c1, s1 = (jnp.asarray(m) for m in tables)
+        c2, s2, twr, twi, c1, s1 = tables
+        cs2 = jnp.asarray(np.concatenate([c2, s2], axis=1))
+        cs1 = jnp.asarray(np.concatenate([c1, s1], axis=1))
+        twr, twi = jnp.asarray(twr), jnp.asarray(twi)
         kernel = _make_factored_kernel(ntap, L, nchan, ts, ti, n_s,
                                        L1, L2, fast)
         table_spec = [
             pl.BlockSpec(m.shape, lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM)
-            for m in (c2, s2, twr, twi, c1, s1)]
+            for m in (cs2, twr, twi, cs1)]
         # the kernel's scale table is indexed [k2, k1]
         sc_kernel = sc.reshape(L1 // 2, L2).T
         out4 = pl.pallas_call(
@@ -318,11 +336,12 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                 bytes_accessed=(x.dtype.itemsize * ninput * ntime
                                 + ninput * nspec * nchan),
                 transcendentals=0),
-        )(xt, window, c2, s2, twr, twi, c1, s1, sc_kernel)
+        )(xt, window, cs2, twr, twi, cs1, sc_kernel)
         # k = k1*L2 + k2: reorder the packed bytes
         return jnp.swapaxes(out4, 2, 3).reshape(ninput, nspec, nchan)
 
-    cos_m, msin_m = (jnp.asarray(m) for m in rdft_matrices(nchan))
+    cos_m, msin_m = rdft_matrices(nchan)
+    cm = jnp.asarray(np.concatenate([cos_m, msin_m], axis=1))
     kernel = _make_kernel(ntap, L, nchan, ts, ti, n_s, fast)
     slab = (ts + ntap - 1) * L
     out = pl.pallas_call(
@@ -333,9 +352,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                          memory_space=pl.ANY),      # whole stream, HBM
             pl.BlockSpec((ntap, L), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, nchan), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, nchan), lambda i, s: (0, 0),
+            pl.BlockSpec((L, 2 * nchan), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nchan), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -359,5 +376,5 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
             bytes_accessed=(x.dtype.itemsize * ninput * ntime
                             + ninput * nspec * nchan),
             transcendentals=0),
-    )(xt, window, cos_m, msin_m, sc.reshape(1, nchan))
+    )(xt, window, cm, sc.reshape(1, nchan))
     return out

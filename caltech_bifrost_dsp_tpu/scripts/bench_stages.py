@@ -108,6 +108,11 @@ def main(argv=None) -> int:
             "hbm": (T + ntap - 1) * L * I * 4 + T * C * I,
             "flops": 3 * dft_flops_1pass + T * L * ntap * I * 2,
         },
+        "pfb_fused_bf16_int8": {
+            # int8 ADC input: 4x less HBM read than f32
+            "hbm": (T + ntap - 1) * L * I + T * C * I,
+            "flops": dft_flops_1pass + T * L * ntap * I * 2,
+        },
         "corr_window": {
             # packed in, bf16 planes written+read once, vis out
             "hbm": T * C * I + 2 * plane_bf16 + vis_bytes,
@@ -145,6 +150,12 @@ def main(argv=None) -> int:
             jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
                 a, w, C, ntap, 0.5, fast=False)),
             (adc, window),
+            jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
+        "pfb_fused_bf16_int8": (
+            jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
+                a, w, C, ntap, 0.5, fast=True)),
+            (jnp.asarray(np.clip(np.rint(np.asarray(adc) * 10),
+                                 -127, 127).astype(np.int8)), window),
             jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
         "corr_window": (
             jax.jit(lambda pk: corr.correlate_accumulate(pk, T)),
