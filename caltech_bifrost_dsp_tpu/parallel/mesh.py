@@ -521,7 +521,8 @@ def collective_volumes(cfg: XEngineConfig, n_time: int, n_chan: int,
     nin_loc = ninput/n_chan, nchan_loc = nchan/n_chan):
 
     - ``ppermute`` halo ('time' axis): every device sends its trailing
-      h*L x nin_loc f32 samples once per gulp.
+      h*L x nin_loc ADC samples (``cfg.adc_dtype`` wide — int8 is 4x
+      cheaper than f32) once per gulp.
     - ``all_to_all`` F->X corner-turn ('chan' axis): each device's
       packed 4+4-bit slab [nin_loc, G_loc, nchan] moves
       (n_chan-1)/n_chan of itself off-device (the quantize-first design
@@ -560,7 +561,7 @@ def collective_volumes(cfg: XEngineConfig, n_time: int, n_chan: int,
     vis_plane_dev = 2 * nchan_loc * cfg.ninput * cfg.ninput * 4
     vols = [
         entry("ppermute_halo", "time", n_time > 1 and h > 0,
-              h * L * nin_loc * 4),
+              h * L * nin_loc * cfg.adc_np_dtype.itemsize),
         entry("all_to_all_corner_turn", "chan", n_chan > 1,
               nin_loc * g_loc * cfg.nchan * (n_chan - 1) / n_chan),
         # per-time-shard partial accumulation: the vis all-reduce fires
