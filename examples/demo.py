@@ -10,9 +10,22 @@ products exactly.
 
 import json
 import os
+import sys
 import tempfile
 
 import numpy as np
+
+# runnable as `python examples/demo.py` from anywhere (the package is
+# not pip-installed; sys.path[0] is examples/, not the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# the demo is a miniature CPU walkthrough — keep it off any accelerator
+# (env alone is not enough where sitecustomize pins a backend)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from caltech_bifrost_dsp_tpu import config as cfgmod
 from caltech_bifrost_dsp_tpu.control.client import (CorrControlClient,
