@@ -53,7 +53,7 @@ def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
       (the ci32 [nchan_out, nvis_out] output buffer layout,
       reference: corr_subsel_block.py:214-216).
     """
-    nchan = vis.real.shape[0]
+    nchan, ninput, _ = vis.real.shape
     if nchan % nchan_sum:
         raise ValueError("nchan must be a multiple of nchan_sum")
     i0 = input_pairs[:, 0]
@@ -64,8 +64,18 @@ def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
     lo = jnp.minimum(i0, i1)
     hi = jnp.maximum(i0, i1)
     sign = jnp.where(i0 <= i1, 1, -1).astype(jnp.int32)
-    sel_r = vis.real[:, lo, hi]  # [nchan, nvis]
-    sel_i = vis.imag[:, lo, hi] * sign
+
+    # Flatten the (lo, hi) pair to ONE take() axis: XLA lowers the
+    # single-axis gather from the flattened [nchan, ninput^2] view much
+    # better than the 2-axis advanced index ``vis[:, lo, hi]`` (measured
+    # 5.5 vs 7.0 ms standalone at the production shape on TPU v5e).
+    # Summing channel groups BEFORE the gather is exact but NOT a win:
+    # XLA's strided reduction over the full cube costs more than the
+    # 4x-smaller gather saves (7.1 ms measured).
+    idx = lo * ninput + hi
+    sel_r = jnp.take(vis.real.reshape(nchan, ninput * ninput), idx, axis=1)
+    sel_i = jnp.take(vis.imag.reshape(nchan, ninput * ninput), idx,
+                     axis=1) * sign
 
     def csum(x):
         return x.reshape(nchan // nchan_sum, nchan_sum, -1).sum(

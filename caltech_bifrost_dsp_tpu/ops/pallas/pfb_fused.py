@@ -162,7 +162,7 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
 
 def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
                           ti: int, n_s: int, L1: int, L2: int,
-                          fast: bool):
+                          fast: bool, paired: bool):
     """F-engine-scale variant: the direct [L, nchan] DFT matrices would
     need ~134 MB of VMEM at nchan=4096, so the kernel applies the
     two-stage Cooley-Tukey factorization (tables are a few hundred KB)
@@ -172,8 +172,13 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
 
     slab = (ts + ntap - 1) * L
 
-    def kernel(xt_ref, w_ref, cs2_ref, twr_ref, twi_ref, cs1_ref,
-               scale_ref, out_ref, xbuf, sems):
+    def kernel(xt_ref, w_ref, *rest):
+        if paired:
+            cs2_ref, twr_ref, twi_ref, cs1_ref = rest[:4]
+            scale_ref, out_ref, xbuf, sems = rest[4:]
+        else:
+            c2_ref, s2_ref, twr_ref, twi_ref, c1_ref, s1_ref = rest[:6]
+            scale_ref, out_ref, xbuf, sems = rest[6:]
         i = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -206,21 +211,32 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
         dn_mid = (((1,), (0,)), ((), ()))
         dot = _make_dot(fast)
 
-        # contract n2 -> [R, L1(n1), L2(k2)]; cos|(-sin) tables ride
-        # side by side in ONE matmul (independent output columns =>
-        # bit-identical to two passes, fewer MXU invocations)
-        both2 = dot(x3, cs2_ref[:], dn_mid)
-        sr = both2[..., 0:L2]
-        si = both2[..., L2:]
+        # contract n2 -> [R, L1(n1), L2(k2)].  ``paired`` runs the
+        # cos|(-sin) tables side by side in ONE matmul per stage
+        # (independent output columns => bit-identical); unpaired keeps
+        # the six narrower dots, whose smaller live intermediates
+        # schedule better when VMEM is tight at F-engine scale.
+        h = L1 // 2
+        if paired:
+            both2 = dot(x3, cs2_ref[:], dn_mid)
+            sr = both2[..., 0:L2]
+            si = both2[..., L2:]
+        else:
+            sr = dot(x3, c2_ref[:], dn_mid)
+            si = dot(x3, s2_ref[:], dn_mid)
         # complex twiddle (sr + i si) * (twr + i twi), tables [L1, L2]
         tr = sr * twr_ref[:] - si * twi_ref[:]
         ti_ = sr * twi_ref[:] + si * twr_ref[:]
         # outer DFT over n1 (middle axis): [R, L1, L2] x [L1, L1h|L1h]
-        h = L1 // 2
-        tc = dot(tr, cs1_ref[:], dn_mid)
-        td = dot(ti_, cs1_ref[:], dn_mid)
-        xr = tc[..., 0:h] + td[..., h:]
-        xi = td[..., 0:h] - tc[..., h:]
+        if paired:
+            tc = dot(tr, cs1_ref[:], dn_mid)
+            td = dot(ti_, cs1_ref[:], dn_mid)
+            xr = tc[..., 0:h] + td[..., h:]
+            xi = td[..., 0:h] - tc[..., h:]
+        else:
+            c1, s1 = c1_ref[:], s1_ref[:]
+            xr = dot(tr, c1, dn_mid) + dot(ti_, s1, dn_mid)
+            xi = dot(ti_, c1, dn_mid) - dot(tr, s1, dn_mid)
         # [R, L2(k2), L1h(k1)]; k = k1*L2 + k2 — the k-axis reorder
         # happens OUTSIDE on the packed bytes (Mosaic cannot shape-cast
         # the transposed vector; XLA reorders the uint8 cheaply).
@@ -235,12 +251,14 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
 
 
 @functools.partial(jax.jit, static_argnames=("nchan", "ntap", "ti", "ts",
-                                             "fast", "interpret"))
+                                             "fast", "paired",
+                                             "interpret"))
 def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                                nchan: int, ntap: int, scale,
                                ti: int | None = None,
                                ts: int | None = None,
                                fast: bool = False,
+                               paired: bool | None = None,
                                interpret: bool = False) -> jax.Array:
     """Fused PFB + 4-bit requant.
 
@@ -294,15 +312,22 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         L1, L2 = factors
         tables, _ = _rdft_factored_tables(nchan)
         c2, s2, twr, twi, c1, s1 = tables
-        cs2 = jnp.asarray(np.concatenate([c2, s2], axis=1))
-        cs1 = jnp.asarray(np.concatenate([c1, s1], axis=1))
-        twr, twi = jnp.asarray(twr), jnp.asarray(twi)
+        if paired is None:
+            paired = False  # measured faster unpaired at F-engine scale
+        if paired:
+            table_arrays = (
+                jnp.asarray(np.concatenate([c2, s2], axis=1)),
+                jnp.asarray(twr), jnp.asarray(twi),
+                jnp.asarray(np.concatenate([c1, s1], axis=1)))
+        else:
+            table_arrays = tuple(
+                jnp.asarray(m) for m in (c2, s2, twr, twi, c1, s1))
         kernel = _make_factored_kernel(ntap, L, nchan, ts, ti, n_s,
-                                       L1, L2, fast)
+                                       L1, L2, fast, paired)
         table_spec = [
             pl.BlockSpec(m.shape, lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM)
-            for m in (cs2, twr, twi, cs1)]
+            for m in table_arrays]
         # the kernel's scale table is indexed [k2, k1]
         sc_kernel = sc.reshape(L1 // 2, L2).T
         out4 = pl.pallas_call(
@@ -336,7 +361,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                 bytes_accessed=(x.dtype.itemsize * ninput * ntime
                                 + ninput * nspec * nchan),
                 transcendentals=0),
-        )(xt, window, cs2, twr, twi, cs1, sc_kernel)
+        )(xt, window, *table_arrays, sc_kernel)
         # k = k1*L2 + k2: reorder the packed bytes
         return jnp.swapaxes(out4, 2, 3).reshape(ninput, nspec, nchan)
 

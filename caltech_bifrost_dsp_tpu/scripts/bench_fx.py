@@ -24,6 +24,18 @@ except Exception:
     pass
 
 
+def _gen_adc(nadc: int, ninput: int, adc_dtype: str) -> np.ndarray:
+    """Synthetic ADC block, generated at its final dtype.
+
+    At F-engine scale the block is tens of GB; a float64 intermediate
+    (RandomState.standard_normal's only output dtype) would be 8x the
+    int8 payload and OOM the host, so draw directly at width."""
+    rng = np.random.default_rng(0)
+    if adc_dtype == "int8":
+        return rng.integers(-90, 91, [nadc, ninput], dtype=np.int8)
+    return rng.standard_normal([nadc, ninput], dtype=np.float32) * 3
+
+
 def bench_fengine(args) -> int:
     """F-engine-scale channelization: 4096-channel critically-sampled
     PFB + 4-bit requant across all 704 array inputs.  The real-time bar
@@ -35,13 +47,8 @@ def bench_fengine(args) -> int:
     nchan, ntap, ninput = args.nchan, LWA352.pfb_ntap, LWA352.ninput
     nspec = args.nspec
     L = 2 * nchan
-    rng = np.random.RandomState(0)
     nadc = (nspec + ntap - 1) * L
-    sig = rng.standard_normal([nadc, ninput]) * (
-        30 if args.adc_dtype == "int8" else 3)
-    adc = jnp.asarray(np.clip(np.rint(sig), -127, 127).astype(np.int8)
-                      if args.adc_dtype == "int8"
-                      else sig.astype(np.float32))
+    adc = jnp.asarray(_gen_adc(nadc, ninput, args.adc_dtype))
     window = jnp.asarray(pfb_ops.pfb_window(nchan, ntap))
 
     if args.fft_impl == "matmul":
@@ -133,13 +140,8 @@ def main(argv=None) -> int:
                          pfb_engine=args.pfb_engine,
                          adc_dtype=args.adc_dtype)
     state, _, gains, pairs = xengine.default_inputs(cfg)
-    rng = np.random.RandomState(0)
     nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan
-    sig = rng.standard_normal([nadc, cfg.ninput]) * (
-        30 if args.adc_dtype == "int8" else 3)
-    adc = jnp.asarray(np.clip(np.rint(sig), -127, 127).astype(np.int8)
-                      if args.adc_dtype == "int8"
-                      else sig.astype(np.float32))
+    adc = jnp.asarray(_gen_adc(nadc, cfg.ninput, args.adc_dtype))
     window = jnp.asarray(pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
 
     @jax.jit

@@ -4,6 +4,7 @@ and the factored-DFT F-engine scale."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from caltech_bifrost_dsp_tpu.ops import pfb
 from caltech_bifrost_dsp_tpu.ops.pallas.pfb_fused import (
@@ -42,9 +43,11 @@ def test_fused_kernel_per_channel_scale(rng):
     np.testing.assert_array_equal(got, _want(x, w, nchan, ntap, sc))
 
 
-def test_fused_kernel_factored_fengine_scale(rng):
+@pytest.mark.parametrize("paired", [False, True])
+def test_fused_kernel_factored_fengine_scale(rng, paired):
     """4096-channel factored-DFT variant (the F-engine operating
-    point), exact vs the XLA factored path."""
+    point), exact vs the XLA factored path — in both the paired
+    (side-by-side cos|sin tables) and unpaired matmul layouts."""
     nchan, ntap, nspec, ninput = 4096, 4, 8, 2
     L = 2 * nchan
     assert pfb._dft_factors(L) is not None
@@ -53,7 +56,7 @@ def test_fused_kernel_factored_fengine_scale(rng):
     w = pfb.pfb_window(nchan, ntap)
     got = np.asarray(pfb_quantize_packed_pallas(
         jnp.asarray(x), jnp.asarray(w), nchan, ntap, 0.5,
-        interpret=True))
+        paired=paired, interpret=True))
     np.testing.assert_array_equal(got, _want(x, w, nchan, ntap, 0.5))
 
 
