@@ -39,7 +39,9 @@ def main():
     from caltech_bifrost_dsp_tpu.config import LWA352
     from caltech_bifrost_dsp_tpu.models import xengine
 
-    cfg = LWA352
+    # 256-block int8 Karatsuba correlator: 19.5 ms/window vs the dense
+    # XLA engine's 22.4 at this shape (ops/pallas/corr_blk.py)
+    cfg = LWA352.replace(corr_engine="pallas_blk")
     state, _, gains, pairs = xengine.default_inputs(cfg)
     rng = np.random.RandomState(1)
     block = jnp.asarray(rng.randint(

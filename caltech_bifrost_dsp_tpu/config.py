@@ -91,7 +91,7 @@ class XEngineConfig:
             raise ValueError("nstand must be a multiple of 4")
         if self.nbeam % 2 != 0:
             raise ValueError("nbeam must be even (beams pair into X/Y pols)")
-        if self.corr_engine not in ("xla", "pallas_triu"):
+        if self.corr_engine not in ("xla", "pallas_triu", "pallas_blk"):
             raise ValueError(f"unknown corr_engine {self.corr_engine!r}")
         if self.pfb_fft_impl not in ("fft", "matmul"):
             raise ValueError(

@@ -94,10 +94,15 @@ def xengine_step(state: XEngineState,
         entirely, mirroring a reference pipeline built without the
         Beamform threads.
     """
-    if cfg.corr_engine == "pallas_triu":
-        from ..ops.pallas.corr_triu import packed_corr_triu
+    if cfg.corr_engine == "pallas_blk":
+        from ..ops.pallas.corr_blk import packed_corr_blk
 
         # interpret mode on CPU (tests); compiled Mosaic kernel on TPU
+        vis_gulp = packed_corr_blk(
+            packed, interpret=jax.default_backend() == "cpu")
+    elif cfg.corr_engine == "pallas_triu":
+        from ..ops.pallas.corr_triu import packed_corr_triu
+
         vis_gulp = packed_corr_triu(
             packed, interpret=jax.default_backend() == "cpu")
     else:
@@ -195,7 +200,7 @@ def dense_vis(vis, cfg: XEngineConfig):
     """Accumulator -> full Hermitian matrix (mirrors the triangular
     engine's upper-triangle-only accumulators; identity for the dense
     engine).  Called per dump, off the hot path."""
-    if cfg.corr_engine == "pallas_triu":
+    if cfg.corr_engine in ("pallas_triu", "pallas_blk"):
         from ..ops.pallas.corr_triu import mirror_vis
 
         return mirror_vis(vis)

@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PFB transform: matmul real-DFT (works on every "
                         "backend) or XLA rfft (faster on backends whose "
                         "compiler supports the FFT lowering)")
+    p.add_argument("--corr-engine", type=str, default="xla",
+                   choices=["xla", "pallas_triu", "pallas_blk"],
+                   help="correlator engine: dense XLA matmuls, or the "
+                        "triangular Pallas kernels (pallas_blk = "
+                        "256-block int8 Karatsuba, the fast one on v5e)")
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="FX channelizer engine: XLA matmul path or the "
@@ -158,7 +163,8 @@ def build_pipeline(args, log) -> XEnginePipeline:
         ntime_gulp=args.ntime_gulp, acc_len=args.acc_len,
         acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
         pfb_fft_impl=args.pfb_impl, pfb_engine=args.pfb_engine,
-        pfb_precision=args.pfb_precision, adc_dtype=args.adc_dtype)
+        pfb_precision=args.pfb_precision, adc_dtype=args.adc_dtype,
+        corr_engine=args.corr_engine)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 

@@ -1,0 +1,73 @@
+"""Fused step + driver with the 256-block int8 Karatsuba correlator
+(interpret mode on CPU): kernel exactness and golden equality
+end-to-end."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from caltech_bifrost_dsp_tpu import config as cfgmod
+from caltech_bifrost_dsp_tpu.io import sink, source
+from caltech_bifrost_dsp_tpu.ops import correlate as corr
+from caltech_bifrost_dsp_tpu.ops.pallas.corr_blk import (BLK,
+                                                         packed_corr_blk)
+from caltech_bifrost_dsp_tpu.ops.pallas.corr_triu import mirror_vis
+from caltech_bifrost_dsp_tpu.runtime.driver import XEnginePipeline
+from caltech_bifrost_dsp_tpu.verification import golden
+
+CFG = cfgmod.TINY.replace(corr_engine="pallas_blk")
+
+
+def test_kernel_valid_blocks_exact():
+    """Every block with blk(j) >= blk(i) must be bit-identical to the
+    dense engine (includes sub-diagonal entries of diagonal blocks,
+    which this kernel computes fully)."""
+    rng = np.random.RandomState(3)
+    ntime, nchan, ninput = 32, 3, 300  # 300 -> 2 blocks with padding
+    packed = jnp.asarray(rng.randint(0, 256, [ntime, nchan, ninput])
+                         .astype(np.uint8))
+    want = corr.correlate_gulp(packed)
+    got = packed_corr_blk(packed, interpret=True)
+    for b0 in range(-(-ninput // BLK)):
+        for b1 in range(b0, -(-ninput // BLK)):
+            sl0 = slice(b0 * BLK, min((b0 + 1) * BLK, ninput))
+            sl1 = slice(b1 * BLK, min((b1 + 1) * BLK, ninput))
+            np.testing.assert_array_equal(
+                np.asarray(got.real[:, sl0, sl1]),
+                np.asarray(want.real[:, sl0, sl1]))
+            np.testing.assert_array_equal(
+                np.asarray(got.imag[:, sl0, sl1]),
+                np.asarray(want.imag[:, sl0, sl1]))
+
+
+def test_mirror_vis_completes_hermitian():
+    rng = np.random.RandomState(4)
+    packed = jnp.asarray(rng.randint(0, 256, [16, 2, 40])
+                         .astype(np.uint8))
+    want = corr.correlate_gulp(packed)
+    got = mirror_vis(packed_corr_blk(packed, interpret=True))
+    np.testing.assert_array_equal(np.asarray(got.real),
+                                  np.asarray(want.real))
+    np.testing.assert_array_equal(np.asarray(got.imag),
+                                  np.asarray(want.imag))
+
+
+def test_pipeline_golden_with_blk_engine(tmp_path):
+    ntime = CFG.acc_len_slow
+    inp = str(tmp_path / "in.dat")
+    corrfile = str(tmp_path / "corr.dat")
+    golden.write_input_file(inp, ntime, CFG.nchan, CFG.nstand, CFG.npol,
+                            CFG.acc_len)
+    golden.write_corr_file(corrfile, ntime, CFG.nchan, CFG.nstand,
+                           CFG.npol, CFG.acc_len)
+    src = source.DummySource(CFG, mode="testfile", testfile=inp)
+    sub_pkts = []
+    corr_out = sink.CorrFullOutput(CFG, checkfile=corrfile,
+                                   checkfile_acc_len=CFG.acc_len)
+    sub_out = sink.CorrPartOutput(CFG, send=sub_pkts.append)
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[corr_out],
+                           subsel_outputs=[sub_out], selftest=True)
+    pipe.run(ntime // CFG.ntime_gulp, timeout_s=300)
+    assert pipe.ndump_slow == 1
+    assert corr_out.check_count == 1 and corr_out.check_failures == 0
+    assert pipe.selftest_failures == 0 and pipe.selftest_count == 2
+    assert sub_pkts
