@@ -55,8 +55,16 @@ class XEngineOutputs(NamedTuple):
 
 
 def init_state(cfg: XEngineConfig) -> XEngineState:
-    return XEngineState(corr.zero_vis(cfg.nchan, cfg.ninput),
-                        corr.zero_vis(cfg.nchan, cfg.ninput))
+    ni = cfg.ninput
+    if cfg.corr_engine == "pallas_blk":
+        # the block engine carries its accumulators at the 256-padded
+        # width, avoiding a pad+slice HBM round trip per window; dumps
+        # slice back to ninput in dense_vis()
+        from ..ops.pallas.corr_blk import padded_ni
+
+        ni = padded_ni(ni)
+    return XEngineState(corr.zero_vis(cfg.nchan, ni),
+                        corr.zero_vis(cfg.nchan, ni))
 
 
 def xengine_step(state: XEngineState,
@@ -94,17 +102,42 @@ def xengine_step(state: XEngineState,
         entirely, mirroring a reference pipeline built without the
         Beamform threads.
     """
+    interpret = jax.default_backend() == "cpu"
+    if (cfg.corr_engine == "pallas_blk"
+            and isinstance(fast_first, bool)
+            and isinstance(fast_last, bool)
+            and isinstance(slow_first, bool)):
+        # static boundary flags (the driver/bench path): correlate AND
+        # apply the whole accumulator algebra inside the kernel — the
+        # adds ride the visibility tiles in VMEM instead of separate
+        # full-cube XLA passes
+        from ..ops.pallas.corr_blk import packed_corr_blk_acc
+
+        fast, slow = packed_corr_blk_acc(
+            packed, None if fast_first else state.vis_fast,
+            state.vis_slow, fast_first, fast_last, slow_first,
+            interpret=interpret)
+        subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
+        power = vlbi = None
+        if want_power or want_vlbi:
+            beams = bf.beamform_gulp(packed, gains)
+            if want_power:
+                power = bf.beam_power_sum(beams, cfg.ntime_sum)
+            if want_vlbi:
+                vlbi = bf.vlbi_voltage_select(beams, nbeam_out=2)
+        return (XEngineState(fast, slow),
+                XEngineOutputs(subsel, power, vlbi))
     if cfg.corr_engine == "pallas_blk":
         from ..ops.pallas.corr_blk import packed_corr_blk
 
-        # interpret mode on CPU (tests); compiled Mosaic kernel on TPU
-        vis_gulp = packed_corr_blk(
-            packed, interpret=jax.default_backend() == "cpu")
+        # traced boundary flags: plain kernel + XLA selects on the
+        # padded accumulators
+        vis_gulp = packed_corr_blk(packed, interpret=interpret,
+                                   slice_out=False)
     elif cfg.corr_engine == "pallas_triu":
         from ..ops.pallas.corr_triu import packed_corr_triu
 
-        vis_gulp = packed_corr_triu(
-            packed, interpret=jax.default_backend() == "cpu")
+        vis_gulp = packed_corr_triu(packed, interpret=interpret)
     else:
         vis_gulp = corr.correlate_gulp(packed)
 
@@ -203,7 +236,11 @@ def dense_vis(vis, cfg: XEngineConfig):
     if cfg.corr_engine in ("pallas_triu", "pallas_blk"):
         from ..ops.pallas.corr_triu import mirror_vis
 
-        return mirror_vis(vis)
+        vis = mirror_vis(vis)
+        if vis.real.shape[1] != cfg.ninput:  # blk engine: padded state
+            vis = Vis(vis.real[:, :cfg.ninput, :cfg.ninput],
+                      vis.imag[:, :cfg.ninput, :cfg.ninput])
+        return vis
     return vis
 
 

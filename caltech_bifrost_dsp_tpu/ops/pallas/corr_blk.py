@@ -42,6 +42,13 @@ from .corr_triu import mirror_vis  # noqa: F401  (shared consumer API)
 BLK = 256
 
 
+def padded_ni(ninput: int) -> int:
+    """Input count padded to the block size (the accumulator width the
+    fused step carries when this engine is active — keeping the state
+    padded avoids a pad+slice HBM round trip on every window)."""
+    return ninput + (-ninput) % BLK
+
+
 def _blocks(nblk: int) -> np.ndarray:
     return np.array([(i, j) for i in range(nblk)
                      for j in range(i, nblk)], dtype=np.int32)
@@ -49,20 +56,24 @@ def _blocks(nblk: int) -> np.ndarray:
 
 def _kernel(bi_ref, bj_ref, a_ref, b_ref, vr_ref, vi_ref):
     """One (chan, block-pair) instance: unpack + 3 int8 dots."""
-    a32 = a_ref[0].astype(jnp.int32)
-    b32 = b_ref[0].astype(jnp.int32)
-    # 4+4-bit sign extension ((v ^ 8) - 8) in int32 lanes; the
-    # Karatsuba combination planes are formed here too, before the
-    # int8 cast (int8 vector arithmetic is Mosaic-rejected).
+    vr, vi = _dot3(*_unpack_planes(a_ref[0].astype(jnp.int32),
+                                   b_ref[0].astype(jnp.int32)))
+    vr_ref[0] = vr
+    vi_ref[0] = vi
+
+
+def _unpack_planes(a32, b32):
+    """int32-lane 4-bit unpack + Karatsuba combination planes."""
     arw = ((a32 >> 4) ^ 8) - 8
     aiw = ((a32 & 0xF) ^ 8) - 8
     brw = ((b32 >> 4) ^ 8) - 8
     biw = ((b32 & 0xF) ^ 8) - 8
-    ar, ai = arw.astype(jnp.int8), aiw.astype(jnp.int8)
-    br, bi = brw.astype(jnp.int8), biw.astype(jnp.int8)
-    ad = (aiw - arw).astype(jnp.int8)
-    bs = (brw + biw).astype(jnp.int8)
+    return (arw.astype(jnp.int8), aiw.astype(jnp.int8),
+            brw.astype(jnp.int8), biw.astype(jnp.int8),
+            (aiw - arw).astype(jnp.int8), (brw + biw).astype(jnp.int8))
 
+
+def _dot3(ar, ai, br, bi, ad, bs):
     dn = (((0,), (0,)), ((), ()))
 
     def dot(x, y):
@@ -72,16 +83,137 @@ def _kernel(bi_ref, bj_ref, a_ref, b_ref, vr_ref, vi_ref):
     p1 = dot(ar, br)
     p2 = dot(ai, bi)
     p3 = dot(ad, bs)
-    vr_ref[0] = p1 + p2
-    vi_ref[0] = p3 + p1 - p2
+    return p1 + p2, p3 + p1 - p2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def packed_corr_blk(packed: jax.Array, interpret: bool = False) -> Vis:
+@functools.partial(jax.jit, static_argnames=("fast_first", "fast_last",
+                                             "slow_first", "interpret"))
+def packed_corr_blk_acc(packed: jax.Array,
+                        fast_in: Vis | None,
+                        slow_in: Vis | None,
+                        fast_first: bool, fast_last: bool,
+                        slow_first: bool,
+                        interpret: bool = False) -> tuple[Vis, Vis]:
+    """Correlate one gulp AND apply the accumulator algebra in-kernel.
+
+    Replaces the fused step's XLA full-cube adds (the reference's
+    ``BFMap("a += b")`` long accumulate, corr_acc_block.py:304-306, and
+    the per-gulp fast accumulate) with per-block epilogues on the
+    256-block triangular layout — the adds ride the visibility tiles
+    already resident in VMEM instead of a separate 2.3 GB HBM pass.
+
+    Args:
+      packed: uint8 [ntime, nchan, ninput].
+      fast_in: padded Vis [nchan, padded_ni, padded_ni] carried fast
+        accumulator (ignored when ``fast_first``).
+      slow_in: padded Vis slow accumulator (read only when ``fast_last
+        and not slow_first``).
+      flags: the reference's integration-boundary semantics
+        (corr_block.py:433-445, corr_acc_block.py:303-306), static.
+
+    Returns:
+      (fast, slow) padded Vis:
+        fast = gulp            if fast_first else fast_in + gulp
+        slow = slow_in         if not fast_last
+             = fast            if slow_first
+             = slow_in + fast  otherwise
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntime, nchan, ninput = packed.shape
+    ni = padded_ni(ninput)
+    if ni != ninput:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, ni - ninput)))
+    nblk = ni // BLK
+    pairs = _blocks(nblk)
+    npair = len(pairs)
+    bi = jnp.asarray(pairs[:, 0])
+    bj = jnp.asarray(pairs[:, 1])
+    packed_cm = jnp.transpose(packed, (1, 0, 2))
+
+    add_fast = not fast_first
+    add_slow = fast_last and not slow_first
+    if add_fast and (fast_in is None or fast_in.real.shape[1] != ni):
+        raise ValueError("fast_in must be a padded Vis")
+    if add_slow and (slow_in is None or slow_in.real.shape[1] != ni):
+        raise ValueError("slow_in must be a padded Vis")
+
+    def kernel(bi_ref, bj_ref, *refs):
+        it = iter(refs)
+        a_ref = next(it)
+        b_ref = next(it)
+        fr_in = fi_in = sr_in = si_in = None
+        if add_fast:
+            fr_in, fi_in = next(it), next(it)
+        if add_slow:
+            sr_in, si_in = next(it), next(it)
+        fr_out, fi_out = next(it), next(it)
+        if add_slow or (fast_last and slow_first):
+            sr_out, si_out = next(it), next(it)
+        vr, vi = _dot3(*_unpack_planes(a_ref[0].astype(jnp.int32),
+                                       b_ref[0].astype(jnp.int32)))
+        if add_fast:
+            vr = vr + fr_in[0]
+            vi = vi + fi_in[0]
+        fr_out[0] = vr
+        fi_out[0] = vi
+        if add_slow:
+            sr_out[0] = sr_in[0] + vr
+            si_out[0] = si_in[0] + vi
+        elif fast_last and slow_first:
+            sr_out[0] = vr
+            si_out[0] = vi
+
+    blk_in = [
+        pl.BlockSpec((1, ntime, BLK), lambda c, k, bi, bj: (c, 0, bi[k])),
+        pl.BlockSpec((1, ntime, BLK), lambda c, k, bi, bj: (c, 0, bj[k])),
+    ]
+    vspec = pl.BlockSpec((1, BLK, BLK),
+                         lambda c, k, bi, bj: (c, bi[k], bj[k]))
+    operands = [packed_cm, packed_cm]
+    if add_fast:
+        blk_in += [vspec, vspec]
+        operands += [fast_in.real, fast_in.imag]
+    if add_slow:
+        blk_in += [vspec, vspec]
+        operands += [slow_in.real, slow_in.imag]
+    nout = 4 if (add_slow or (fast_last and slow_first)) else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchan, npair),
+        in_specs=blk_in,
+        out_specs=[vspec] * nout,
+    )
+    out_shape = [jax.ShapeDtypeStruct((nchan, ni, ni), jnp.int32)] * nout
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nchan * npair * BLK * BLK * 3 * ntime,
+            bytes_accessed=(2 * nchan * npair * ntime * BLK
+                            + 4 * (2 + nout) * nchan * npair * BLK * BLK),
+            transcendentals=0),
+    )(bi, bj, *operands)
+    fast = Vis(outs[0], outs[1])
+    if nout == 4:
+        slow = Vis(outs[2], outs[3])
+    else:
+        slow = slow_in if slow_in is not None else fast
+    return fast, slow
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "slice_out"))
+def packed_corr_blk(packed: jax.Array, interpret: bool = False,
+                    slice_out: bool = True) -> Vis:
     """Correlate a packed block, computing only ``j >= i`` 256-blocks.
 
     Args:
       packed: uint8 [ntime, nchan, ninput].
+      slice_out: slice the padded result back to ninput (False keeps
+        the padded width for callers carrying padded accumulators).
 
     Returns:
       int32 Vis [nchan, ninput, ninput]; entries whose 256-block
@@ -132,7 +264,7 @@ def packed_corr_blk(packed: jax.Array, interpret: bool = False) -> Vis:
                             + 8 * nchan * npair * BLK * BLK),
             transcendentals=0),
     )(bi, bj, packed_cm, packed_cm)
-    if pad:
+    if pad and slice_out:
         vr = vr[:, :ninput, :ninput]
         vi = vi[:, :ninput, :ninput]
     return Vis(vr, vi)

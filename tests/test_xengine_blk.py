@@ -51,6 +51,53 @@ def test_mirror_vis_completes_hermitian():
                                   np.asarray(want.imag))
 
 
+def test_acc_kernel_flag_algebra():
+    """packed_corr_blk_acc must reproduce the reference integration
+    algebra (corr_block.py:433-445 / corr_acc_block.py:303-306)
+    bit-exactly on the valid blocks for every boundary-flag combo."""
+    from caltech_bifrost_dsp_tpu.ops.pallas.corr_blk import (
+        packed_corr_blk_acc, padded_ni)
+
+    rng = np.random.RandomState(5)
+    ntime, nchan, ninput = 24, 2, 48
+    ni = padded_ni(ninput)
+    packed = jnp.asarray(rng.randint(0, 256, [ntime, nchan, ninput])
+                         .astype(np.uint8))
+    v = corr.correlate_gulp(packed)
+
+    def pad_vis(seed):
+        r = np.zeros((nchan, ni, ni), np.int32)
+        i = np.zeros((nchan, ni, ni), np.int32)
+        rr = np.random.RandomState(seed)
+        r[:, :ninput, :ninput] = rr.randint(-9999, 9999,
+                                            (nchan, ninput, ninput))
+        i[:, :ninput, :ninput] = rr.randint(-9999, 9999,
+                                            (nchan, ninput, ninput))
+        return corr.Vis(jnp.asarray(r), jnp.asarray(i))
+
+    fast_in, slow_in = pad_vis(6), pad_vis(7)
+
+    def valid(x):
+        return np.asarray(x)[:, :ninput, :ninput]
+
+    for ff in (True, False):
+        for fl in (True, False):
+            for sf in (True, False):
+                fast, slow = packed_corr_blk_acc(
+                    packed, None if ff else fast_in, slow_in,
+                    ff, fl, sf, interpret=True)
+                want_f_r = np.asarray(v.real) if ff else \
+                    valid(fast_in.real) + np.asarray(v.real)
+                np.testing.assert_array_equal(valid(fast.real), want_f_r)
+                if not fl:
+                    want_s = valid(slow_in.real)
+                elif sf:
+                    want_s = valid(fast.real)
+                else:
+                    want_s = valid(slow_in.real) + valid(fast.real)
+                np.testing.assert_array_equal(valid(slow.real), want_s)
+
+
 def test_pipeline_golden_with_blk_engine(tmp_path):
     ntime = CFG.acc_len_slow
     inp = str(tmp_path / "in.dat")
