@@ -39,9 +39,10 @@ def main():
     from caltech_bifrost_dsp_tpu.config import LWA352
     from caltech_bifrost_dsp_tpu.models import xengine
 
-    # 256-block int8 Karatsuba correlator: 19.5 ms/window vs the dense
-    # XLA engine's 22.4 at this shape (ops/pallas/corr_blk.py)
-    cfg = LWA352.replace(corr_engine="pallas_blk")
+    # 256-block int8 Karatsuba correlator with fused accumulator algebra
+    # + fused beamform/power kernel (ops/pallas/corr_blk.py,
+    # ops/pallas/beamform_fused.py)
+    cfg = LWA352.replace(corr_engine="pallas_blk", bf_engine="pallas")
     state, _, gains, pairs = xengine.default_inputs(cfg)
     rng = np.random.RandomState(1)
     block = jnp.asarray(rng.randint(

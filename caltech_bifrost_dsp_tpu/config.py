@@ -51,8 +51,15 @@ class XEngineConfig:
     nupchan: int = 32            # fine channels per coarse channel (offline)
     # Correlator kernel: "xla" = dense bf16 dot_general; "pallas_triu" =
     # fused-unpack upper-triangular Pallas kernel (accumulators then hold
-    # only the upper triangle; consumers mirror at dump time).
+    # only the upper triangle; consumers mirror at dump time);
+    # "pallas_blk" = 256-block triangular int8 Karatsuba kernel with the
+    # accumulator algebra fused in (the fast one on v5e).
     corr_engine: str = "xla"
+    # Beamformer engine: "xla" (f32 matmuls + separate power pass) or
+    # "pallas" (fused unpack+beamform+power/VLBI kernel; the beam
+    # voltages never touch HBM — bf16 hi/lo gains, ~2e-4 worst-case
+    # vs the XLA path, inside the reference's rtol=1e-4-vs-truth gate).
+    bf_engine: str = "xla"
     # PFB spectral transform: "fft" (XLA rfft) or "matmul" (real DFT as
     # two MXU matmuls; needed where the backend's AOT compiler lacks FFT)
     pfb_fft_impl: str = "fft"
@@ -93,6 +100,8 @@ class XEngineConfig:
             raise ValueError("nbeam must be even (beams pair into X/Y pols)")
         if self.corr_engine not in ("xla", "pallas_triu", "pallas_blk"):
             raise ValueError(f"unknown corr_engine {self.corr_engine!r}")
+        if self.bf_engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown bf_engine {self.bf_engine!r}")
         if self.pfb_fft_impl not in ("fft", "matmul"):
             raise ValueError(
                 f"unknown pfb_fft_impl {self.pfb_fft_impl!r}")

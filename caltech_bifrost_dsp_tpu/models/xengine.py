@@ -67,6 +67,34 @@ def init_state(cfg: XEngineConfig) -> XEngineState:
                         corr.zero_vis(cfg.nchan, ni))
 
 
+def _beam_products(packed, gains, cfg: XEngineConfig, want_power: bool,
+                   want_vlbi: bool, interpret: bool):
+    """Beamformer product dispatch (XLA path or the fused Pallas
+    kernel that never materializes the beam voltages in HBM)."""
+    if not (want_power or want_vlbi):
+        return None, None
+    if cfg.bf_engine == "pallas":
+        from ..ops.pallas.beamform_fused import (beamform_products_pallas,
+                                                 stacked_gains)
+
+        ni = cfg.ninput
+        if cfg.corr_engine == "pallas_blk":
+            # match the correlator kernel's padded width so XLA shares
+            # ONE pad+transpose of the packed gulp between both kernels
+            from ..ops.pallas.corr_blk import padded_ni
+
+            ni = padded_ni(ni)
+        gstack = stacked_gains(gains, ni)
+        return beamform_products_pallas(packed, gstack, cfg.ntime_sum,
+                                        want_power, want_vlbi,
+                                        interpret=interpret)
+    beams = bf.beamform_gulp(packed, gains)
+    power = bf.beam_power_sum(beams, cfg.ntime_sum) if want_power else None
+    vlbi = (bf.vlbi_voltage_select(beams, nbeam_out=2)
+            if want_vlbi else None)
+    return power, vlbi
+
+
 def xengine_step(state: XEngineState,
                  packed: jax.Array,
                  gains: bf.BeamGains,
@@ -118,13 +146,8 @@ def xengine_step(state: XEngineState,
             state.vis_slow, fast_first, fast_last, slow_first,
             interpret=interpret)
         subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
-        power = vlbi = None
-        if want_power or want_vlbi:
-            beams = bf.beamform_gulp(packed, gains)
-            if want_power:
-                power = bf.beam_power_sum(beams, cfg.ntime_sum)
-            if want_vlbi:
-                vlbi = bf.vlbi_voltage_select(beams, nbeam_out=2)
+        power, vlbi = _beam_products(packed, gains, cfg, want_power,
+                                     want_vlbi, interpret)
         return (XEngineState(fast, slow),
                 XEngineOutputs(subsel, power, vlbi))
     if cfg.corr_engine == "pallas_blk":
@@ -155,15 +178,8 @@ def xengine_step(state: XEngineState,
     slow = _sel(fast_last, slow_candidate, state.vis_slow)
 
     subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
-
-    power = vlbi = None
-    if want_power or want_vlbi:
-        beams = bf.beamform_gulp(packed, gains)
-        if want_power:
-            power = bf.beam_power_sum(beams, cfg.ntime_sum)
-        if want_vlbi:
-            vlbi = bf.vlbi_voltage_select(beams, nbeam_out=2)
-
+    power, vlbi = _beam_products(packed, gains, cfg, want_power,
+                                 want_vlbi, interpret)
     return (XEngineState(fast, slow),
             XEngineOutputs(subsel, power, vlbi))
 

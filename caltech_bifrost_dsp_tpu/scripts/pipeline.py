@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="correlator engine: dense XLA matmuls, or the "
                         "triangular Pallas kernels (pallas_blk = "
                         "256-block int8 Karatsuba, the fast one on v5e)")
+    p.add_argument("--bf-engine", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="beamformer engine: XLA matmuls + power pass, "
+                        "or the fused Pallas kernel (voltages never "
+                        "touch HBM)")
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="FX channelizer engine: XLA matmul path or the "
@@ -164,7 +169,7 @@ def build_pipeline(args, log) -> XEnginePipeline:
         acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
         pfb_fft_impl=args.pfb_impl, pfb_engine=args.pfb_engine,
         pfb_precision=args.pfb_precision, adc_dtype=args.adc_dtype,
-        corr_engine=args.corr_engine)
+        corr_engine=args.corr_engine, bf_engine=args.bf_engine)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 
