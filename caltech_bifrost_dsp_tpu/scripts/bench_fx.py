@@ -120,6 +120,10 @@ def main(argv=None) -> int:
                    choices=["float32", "int8"],
                    help="raw ADC dtype (int8 = production digitizer "
                         "width: 4x less H2D/staging/halo traffic)")
+    p.add_argument("--corr-engine", type=str, default="xla",
+                   choices=["xla", "pallas_triu", "pallas_blk"])
+    p.add_argument("--bf-engine", type=str, default="xla",
+                   choices=["xla", "pallas"])
     p.add_argument("--fengine", action="store_true",
                    help="benchmark the F-engine operating point instead: "
                         "4096-channel PFB + 4-bit requant over all 704 "
@@ -138,7 +142,9 @@ def main(argv=None) -> int:
     cfg = LWA352.replace(pfb_fft_impl=args.fft_impl,
                          pfb_precision=args.pfb_precision,
                          pfb_engine=args.pfb_engine,
-                         adc_dtype=args.adc_dtype)
+                         adc_dtype=args.adc_dtype,
+                         corr_engine=args.corr_engine,
+                         bf_engine=args.bf_engine)
     state, _, gains, pairs = xengine.default_inputs(cfg)
     nadc = (args.nspec + cfg.pfb_ntap - 1) * 2 * cfg.nchan
     adc = jnp.asarray(_gen_adc(nadc, cfg.ninput, args.adc_dtype))

@@ -135,6 +135,18 @@ def main(argv=None) -> int:
             "hbm": 3 * vis_bytes,              # read new + read acc + write
             "flops": 0,
         },
+        "corr_blk_acc": {
+            # packed in (padded), 6 valid 256-blocks: fast write + slow
+            # read + slow write (the fused accumulator algebra)
+            "hbm": T * C * 768 + 6 * C * 6 * 256 * 256 * 4 * 2,
+            # 3 Karatsuba dots per block pair at bf16-equivalent rate
+            "flops": 2 * C * 6 * 256 * 256 * 3 * T,
+        },
+        "beamform_fused": {
+            # packed in + stacked gains; voltages never reach HBM
+            "hbm": T * C * 768 + C * 4 * B * 768 * 2,
+            "flops": 2 * C * T * 4 * B * 768 * 2,
+        },
     }
 
     def probe_vis(v):
@@ -176,6 +188,29 @@ def main(argv=None) -> int:
             (vis, vis),
             jax.jit(probe_vis)),
     }
+
+    # engine stages (the production bench.py configuration)
+    from ..ops.pallas.beamform_fused import (beamform_products_pallas,
+                                             stacked_gains)
+    from ..ops.pallas.corr_blk import packed_corr_blk_acc, padded_ni
+
+    ni_pad = padded_ni(I)
+    vis_pad = corr.Vis(
+        jnp.zeros((C, ni_pad, ni_pad), jnp.int32),
+        jnp.zeros((C, ni_pad, ni_pad), jnp.int32))
+    gstack = stacked_gains(gains, ni_pad)
+    stages["corr_blk_acc"] = (
+        jax.jit(lambda pk_, sl: packed_corr_blk_acc(
+            pk_, None, sl, True, True, False)),
+        (packed, vis_pad),
+        jax.jit(lambda o: jnp.sum(o[0].real[0, 0, :8])
+                + jnp.sum(o[1].real[0, 1, :8])))
+    stages["beamform_fused"] = (
+        jax.jit(lambda pk_, gs: beamform_products_pallas(
+            pk_, gs, cfg.ntime_sum)),
+        (packed, gstack),
+        jax.jit(lambda o: jnp.sum(o[0][0, 0, :8, 0])
+                + jnp.sum(o[1][0, 0, :, 0])))
 
     only = {s for s in args.stages.split(",") if s}
     rows = []
