@@ -113,6 +113,40 @@ def test_fx_pipeline_pallas_engine_matches_xla():
     assert autos.argmax() == TONE_CHAN
 
 
+def test_fx_pipeline_all_pallas_engines_match_xla():
+    """The full fast configuration — Pallas channelizer + 256-block
+    Karatsuba correlator + fused beamformer, int8 ADC — must produce
+    bit-identical correlation products to the all-XLA FX driver
+    (interpret mode on CPU; the bench.py configuration)."""
+    base = CFG.replace(pfb_fft_impl="matmul", adc_dtype="int8")
+
+    def run(cfg):
+        src = source.ADCSource(cfg, mode="tone", tone_chan=TONE_CHAN,
+                               amplitude=24.0)
+        dumps = []
+
+        class Grab:
+            checkfile = None
+
+            def send_matrix(self, dense, *a, **k):
+                dumps.append(np.array(dense))
+                return 0
+
+        pipe = XEnginePipeline(cfg, src, corr_outputs=[Grab()],
+                               quant_scale=1.0, fx_mode=True)
+        pipe.run(CFG.acc_len_slow // CFG.ntime_gulp, timeout_s=300)
+        return dumps
+
+    d_xla = run(base)
+    d_fast = run(base.replace(pfb_engine="pallas",
+                              corr_engine="pallas_blk",
+                              bf_engine="pallas"))
+    assert len(d_xla) == len(d_fast) == 1
+    np.testing.assert_array_equal(d_xla[0], d_fast[0])
+    autos = np.real(d_fast[0][:, 0, 0])
+    assert autos.argmax() == TONE_CHAN
+
+
 def test_feng_eq_gains_runtime_command():
     """Per-channel EQ gains land through the FEngine command key and
     rescale the requantizer per channel (VERDICT r2 weak 2: the ops
