@@ -43,7 +43,7 @@ import numpy as np
 from ..beamform import BeamGains
 
 
-def _choose_tile(ntime: int, ntime_sum: int, cap: int = 240) -> int:
+def _choose_tile(ntime: int, ntime_sum: int, cap: int = 1200) -> int:
     """Largest time tile <= cap dividing ntime, multiple of ntime_sum
     (power-block aligned) and of 8 (f32 sublanes)."""
     step = ntime_sum
@@ -145,10 +145,11 @@ def _make_kernel(nbeam: int, ntime_sum: int, ts: int, n_t: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ntime_sum", "want_power",
-                                             "want_vlbi", "interpret"))
+                                             "want_vlbi", "ts_cap",
+                                             "interpret"))
 def beamform_products_pallas(packed: jax.Array, gstack: jax.Array,
                              ntime_sum: int, want_power: bool = True,
-                             want_vlbi: bool = True,
+                             want_vlbi: bool = True, ts_cap: int = 1200,
                              interpret: bool = False):
     """Fused beam products for one gulp.
 
@@ -177,7 +178,7 @@ def beamform_products_pallas(packed: jax.Array, gstack: jax.Array,
     if ninput != ni:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, ni - ninput)))
     packed_cm = jnp.transpose(packed, (1, 0, 2))
-    ts = _choose_tile(ntime, ntime_sum)
+    ts = _choose_tile(ntime, ntime_sum, cap=ts_cap)
     if not ts:
         raise ValueError(f"no time tile for ntime={ntime}, "
                          f"ntime_sum={ntime_sum}")
