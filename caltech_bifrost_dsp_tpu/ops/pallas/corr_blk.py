@@ -139,6 +139,15 @@ def packed_corr_blk_acc(packed: jax.Array,
     if add_slow and (slow_in is None or slow_in.real.shape[1] != ni):
         raise ValueError("slow_in must be a padded Vis")
 
+    # channels per instance: amortizes block DMA + per-instance
+    # overhead across the channel axis (measured 10.7 -> 10.15 ms at
+    # cb=8, production shape)
+    cb = 1
+    for cand in (8, 6, 4, 3, 2):
+        if nchan % cand == 0:
+            cb = cand
+            break
+
     def kernel(bi_ref, bj_ref, *refs):
         it = iter(refs)
         a_ref = next(it)
@@ -151,25 +160,26 @@ def packed_corr_blk_acc(packed: jax.Array,
         fr_out, fi_out = next(it), next(it)
         if add_slow or (fast_last and slow_first):
             sr_out, si_out = next(it), next(it)
-        vr, vi = _dot3(*_unpack_planes(a_ref[0].astype(jnp.int32),
-                                       b_ref[0].astype(jnp.int32)))
-        if add_fast:
-            vr = vr + fr_in[0]
-            vi = vi + fi_in[0]
-        fr_out[0] = vr
-        fi_out[0] = vi
-        if add_slow:
-            sr_out[0] = sr_in[0] + vr
-            si_out[0] = si_in[0] + vi
-        elif fast_last and slow_first:
-            sr_out[0] = vr
-            si_out[0] = vi
+        for ci in range(cb):
+            vr, vi = _dot3(*_unpack_planes(a_ref[ci].astype(jnp.int32),
+                                           b_ref[ci].astype(jnp.int32)))
+            if add_fast:
+                vr = vr + fr_in[ci]
+                vi = vi + fi_in[ci]
+            fr_out[ci] = vr
+            fi_out[ci] = vi
+            if add_slow:
+                sr_out[ci] = sr_in[ci] + vr
+                si_out[ci] = si_in[ci] + vi
+            elif fast_last and slow_first:
+                sr_out[ci] = vr
+                si_out[ci] = vi
 
     blk_in = [
-        pl.BlockSpec((1, ntime, BLK), lambda c, k, bi, bj: (c, 0, bi[k])),
-        pl.BlockSpec((1, ntime, BLK), lambda c, k, bi, bj: (c, 0, bj[k])),
+        pl.BlockSpec((cb, ntime, BLK), lambda c, k, bi, bj: (c, 0, bi[k])),
+        pl.BlockSpec((cb, ntime, BLK), lambda c, k, bi, bj: (c, 0, bj[k])),
     ]
-    vspec = pl.BlockSpec((1, BLK, BLK),
+    vspec = pl.BlockSpec((cb, BLK, BLK),
                          lambda c, k, bi, bj: (c, bi[k], bj[k]))
     operands = [packed_cm, packed_cm]
     if add_fast:
@@ -181,7 +191,7 @@ def packed_corr_blk_acc(packed: jax.Array,
     nout = 4 if (add_slow or (fast_last and slow_first)) else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nchan, npair),
+        grid=(nchan // cb, npair),
         in_specs=blk_in,
         out_specs=[vspec] * nout,
     )
