@@ -40,6 +40,49 @@ from ..ops.correlate import Vis
 shard_map = jax.shard_map
 
 
+def _corr_gulp(cfg: XEngineConfig, packed) -> Vis:
+    """Per-shard correlate honoring ``cfg.corr_engine`` — the Pallas
+    triangular kernels run per chan-shard inside ``shard_map`` (each
+    shard owns whole channels, so the per-channel math is identical to
+    the unsharded engine: sharded outputs stay bit-exact against the
+    same-engine unsharded step).  The result is mirrored dense so the
+    downstream psum/subsel/dump logic is engine-agnostic."""
+    if cfg.corr_engine in ("pallas_blk", "pallas_triu"):
+        from ..ops.pallas.corr_triu import mirror_vis
+
+        interp = jax.default_backend() == "cpu"
+        if cfg.corr_engine == "pallas_blk":
+            from ..ops.pallas.corr_blk import packed_corr_blk
+
+            v = packed_corr_blk(packed, interpret=interp)
+        else:
+            from ..ops.pallas.corr_triu import packed_corr_triu
+
+            v = packed_corr_triu(packed, interpret=interp)
+        return mirror_vis(v)
+    return corr.correlate_gulp(packed)
+
+
+def _beam_products_shard(cfg: XEngineConfig, packed, gains_r, gains_i,
+                         want_power: bool = True,
+                         want_vlbi: bool = False):
+    """Per-shard beam products honoring ``cfg.bf_engine``."""
+    if cfg.bf_engine == "pallas":
+        from ..ops.pallas.beamform_fused import (beamform_products_pallas,
+                                                 stacked_gains)
+
+        gstack = stacked_gains(bf.BeamGains(gains_r, gains_i),
+                               packed.shape[2])
+        return beamform_products_pallas(
+            packed, gstack, cfg.ntime_sum, want_power, want_vlbi,
+            interpret=jax.default_backend() == "cpu")
+    beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+    power = bf.beam_power_sum(beams, cfg.ntime_sum) if want_power else None
+    vlbi = (bf.vlbi_voltage_select(beams, nbeam_out=2)
+            if want_vlbi else None)
+    return power, vlbi
+
+
 def make_mesh(n_time: int = 1, n_chan: int | None = None,
               devices=None) -> Mesh:
     """Build a ('time', 'chan') mesh over the given (or all) devices."""
@@ -147,12 +190,11 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
                                   fft_impl=cfg.pfb_fft_impl)
             spec = corner_turn(spec)
             packed = pfb_ops.quantize_4bit(spec, quant_scale)
-        vis_part = corr.correlate_gulp(packed)
+        vis_part = _corr_gulp(cfg, packed)
         vis = Vis(jax.lax.psum(vis_part.real, "time"),
                   jax.lax.psum(vis_part.imag, "time"))
         subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
-        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
-        power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        power, _ = _beam_products_shard(cfg, packed, gains_r, gains_i)
         return (vis.real, vis.imag, subsel.real, subsel.imag, power)
 
     mapped = shard_map(
@@ -187,12 +229,11 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
     [time, chan, -]; gains chan-sharded; outputs chan-sharded.
     """
     def shard_fn(packed, gains_r, gains_i, pairs):
-        vis_part = corr.correlate_gulp(packed)
+        vis_part = _corr_gulp(cfg, packed)
         vis = Vis(jax.lax.psum(vis_part.real, "time"),
                   jax.lax.psum(vis_part.imag, "time"))
         subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
-        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
-        power = bf.beam_power_sum(beams, cfg.ntime_sum)
+        power, _ = _beam_products_shard(cfg, packed, gains_r, gains_i)
         return (vis.real, vis.imag, subsel.real, subsel.imag, power)
 
     mapped = shard_map(
@@ -228,7 +269,7 @@ def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
     slow accumulator — updated from the psum'd full window — stays
     identical on every time shard.
     """
-    vis_part = corr.correlate_gulp(packed)
+    vis_part = _corr_gulp(cfg, packed)
     part = vis_part if fast_first else Vis(fr[0] + vis_part.real,
                                            fi[0] + vis_part.imag)
     out = [part.real[None], part.imag[None]]
@@ -242,13 +283,13 @@ def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
     else:
         out += [sr, si]
     if want_power or want_vlbi:
-        beams = bf.beamform_gulp(packed, bf.BeamGains(gains_r, gains_i))
+        power, vlbi_local = _beam_products_shard(
+            cfg, packed, gains_r, gains_i, want_power, want_vlbi)
         if want_power:
-            out.append(bf.beam_power_sum(beams, cfg.ntime_sum))
+            out.append(power)
         if want_vlbi:
             # VLBI beam-0 voltages need every channel: gather the small
             # [t_local, c_local, 2, 2] slab over 'chan'
-            vlbi_local = bf.vlbi_voltage_select(beams, nbeam_out=2)
             if n_chan_shards > 1:
                 vlbi_local = jax.lax.all_gather(vlbi_local, "chan",
                                                 axis=1, tiled=True)

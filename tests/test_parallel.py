@@ -165,6 +165,39 @@ def test_xengine_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(power, ref_power, rtol=1e-3, atol=1e-2)
 
 
+def test_xengine_sharded_with_pallas_engines(rng):
+    """Sharded step with the production engines (256-block Karatsuba
+    correlator + fused beamformer): visibilities bit-exact against the
+    unsharded same-engine step; beam powers in the bf16x2 class."""
+    from caltech_bifrost_dsp_tpu.ops.pallas.beamform_fused import (
+        beamform_products_pallas, stacked_gains)
+    from caltech_bifrost_dsp_tpu.ops.pallas.corr_blk import packed_corr_blk
+    from caltech_bifrost_dsp_tpu.ops.pallas.corr_triu import mirror_vis
+
+    cfg = CFG.replace(corr_engine="pallas_blk", bf_engine="pallas")
+    mesh = pmesh.make_mesh(2, 4)
+    ntime = 4 * cfg.ntime_sum
+    packed = jnp.asarray(rng.randint(
+        0, 255, [ntime, cfg.nchan, cfg.ninput]).astype(np.uint8))
+    _, window, gains, pairs = _fx_inputs(rng, 8)
+    fn = jax.jit(pmesh.xengine_sharded_fn(cfg, mesh))
+    with jax.set_mesh(mesh):
+        out = fn(packed, gains, pairs)
+        vis_r = np.asarray(out.vis.real)
+        vis_i = np.asarray(out.vis.imag)
+        power = np.asarray(out.bf_power)
+    ref = mirror_vis(packed_corr_blk(packed, interpret=True))
+    np.testing.assert_array_equal(vis_r, np.asarray(ref.real))
+    np.testing.assert_array_equal(vis_i, np.asarray(ref.imag))
+    gstack = stacked_gains(gains, cfg.ninput)
+    ref_power, _ = beamform_products_pallas(
+        packed, gstack, cfg.ntime_sum, want_vlbi=False, interpret=True)
+    ref_power = np.asarray(ref_power)
+    np.testing.assert_allclose(
+        power, ref_power, rtol=2e-4,
+        atol=2e-4 * np.abs(ref_power).max())
+
+
 def test_fx_sharded_int8_adc_matches_f32(rng):
     """int8 ADC through the sharded FX program (ppermute halo and
     all_to_all ride the 4x-smaller int8/packed bytes) is exactly equal
