@@ -44,6 +44,12 @@ def main():
     # ops/pallas/beamform_fused.py)
     cfg = LWA352.replace(corr_engine="pallas_blk", bf_engine="pallas")
     state, _, gains, pairs = xengine.default_inputs(cfg)
+    # prestack the beamformer gain operand once (the driver does the
+    # same at gain-load time)
+    from caltech_bifrost_dsp_tpu.ops.pallas.beamform_fused import \
+        stacked_gains
+
+    gains = stacked_gains(gains, xengine.bf_operand_ni(cfg))
     rng = np.random.RandomState(1)
     block = jnp.asarray(rng.randint(
         0, 255, [cfg.acc_len, cfg.nchan, cfg.ninput]).astype(np.uint8))

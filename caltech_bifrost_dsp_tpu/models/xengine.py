@@ -67,27 +67,42 @@ def init_state(cfg: XEngineConfig) -> XEngineState:
                         corr.zero_vis(cfg.nchan, ni))
 
 
+def bf_operand_ni(cfg: XEngineConfig) -> int:
+    """Input width of the fused beamformer's gain operand — matches the
+    correlator kernel's padded width when both engines are active so
+    XLA shares ONE pad+transpose of the packed gulp between them."""
+    if cfg.corr_engine == "pallas_blk":
+        from ..ops.pallas.corr_blk import padded_ni
+
+        return padded_ni(cfg.ninput)
+    return cfg.ninput
+
+
 def _beam_products(packed, gains, cfg: XEngineConfig, want_power: bool,
                    want_vlbi: bool, interpret: bool):
     """Beamformer product dispatch (XLA path or the fused Pallas
-    kernel that never materializes the beam voltages in HBM)."""
+    kernel that never materializes the beam voltages in HBM).
+
+    ``gains`` is either a :class:`BeamGains` pair, or — for the fused
+    engine — an already-stacked bf16 operand from
+    :func:`..ops.pallas.beamform_fused.stacked_gains` (the driver
+    prestacks once per gain load instead of re-deriving the hi/lo
+    split every call)."""
     if not (want_power or want_vlbi):
         return None, None
     if cfg.bf_engine == "pallas":
         from ..ops.pallas.beamform_fused import (beamform_products_pallas,
                                                  stacked_gains)
 
-        ni = cfg.ninput
-        if cfg.corr_engine == "pallas_blk":
-            # match the correlator kernel's padded width so XLA shares
-            # ONE pad+transpose of the packed gulp between both kernels
-            from ..ops.pallas.corr_blk import padded_ni
-
-            ni = padded_ni(ni)
-        gstack = stacked_gains(gains, ni)
+        if isinstance(gains, bf.BeamGains):
+            gstack = stacked_gains(gains, bf_operand_ni(cfg))
+        else:
+            gstack = gains
         return beamform_products_pallas(packed, gstack, cfg.ntime_sum,
                                         want_power, want_vlbi,
                                         interpret=interpret)
+    if not isinstance(gains, bf.BeamGains):
+        raise TypeError("prestacked gains require bf_engine='pallas'")
     beams = bf.beamform_gulp(packed, gains)
     power = bf.beam_power_sum(beams, cfg.ntime_sum) if want_power else None
     vlbi = (bf.vlbi_voltage_select(beams, nbeam_out=2)

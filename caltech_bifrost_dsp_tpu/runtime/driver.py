@@ -739,9 +739,21 @@ class XEnginePipeline:
                 self.selftest_failures += 1
             self.corr_cmd.update_stats({"selftest_ok": bool(ok)})
 
+    def _device_gains(self):
+        """Gains operand for the fused step.  With the fused Pallas
+        beamformer (non-mesh), prestack the bf16 hi/lo operand ONCE per
+        gain load instead of re-deriving it inside every jitted call."""
+        gains = self.beam_cmd.device_gains()
+        if self.cfg.bf_engine == "pallas" and self.mesh is None:
+            from ..models.xengine import bf_operand_ni
+            from ..ops.pallas.beamform_fused import stacked_gains
+
+            return stacked_gains(gains, bf_operand_ni(self.cfg))
+        return gains
+
     def _compute(self):
         cfg = self.cfg
-        gains_dev = self.beam_cmd.device_gains()
+        gains_dev = self._device_gains()
         gulps_per_acc = self.fast_ctrl.acc_len // cfg.ntime_gulp
         for seq in self.staging.read():
             hdr = seq.header
@@ -765,7 +777,7 @@ class XEnginePipeline:
                     if self.feng_cmd is not None:
                         self.feng_cmd.apply_pending()
                     if self.beam_cmd.stage_loads(t):
-                        gains_dev = self.beam_cmd.device_gains()
+                        gains_dev = self._device_gains()
                     gulps_per_acc = max(
                         1, self.fast_ctrl.acc_len // cfg.ntime_gulp)
                 dec = self.fast_ctrl.on_gulp(t)
