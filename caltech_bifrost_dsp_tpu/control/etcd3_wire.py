@@ -355,10 +355,12 @@ class Etcd3Server:
             kv_enc = enc_keyvalue(key, value, self._rev, create, version)
             event = enc_msg((1, 0), (2, kv_enc))  # type=PUT
             hdr = self._header()
-            sinks = [(wid, q) for wid, (s, e, q) in self._watchers.items()
-                     if self._in_range(key, s, e)]
-        for wid, q in sinks:
-            q.append((wid, event))
+            # deliver while still holding the lock: appends then happen in
+            # revision order, matching etcd's ordered-watch-stream contract
+            # (two concurrent puts must not reach a watcher reversed)
+            for wid, (s, e, q) in self._watchers.items():
+                if self._in_range(key, s, e):
+                    q.append((wid, event))
         return enc_msg((1, hdr))
 
     def _handle_delete(self, req: bytes, ctx) -> bytes:

@@ -20,9 +20,10 @@ products without ever writing the voltages to HBM:
   (reference: blocks/beamform_sum_beams_block.py docstring);
 - the ``ntime_sum`` power integration (trans_output_and_sum,
   reference: pipeline/bf_src/cublas_beamform.cu:46-79) is a matmul
-  against a 0/1 segment matrix — no in-kernel reshapes — and both the
-  power and VLBI streams accumulate in VMEM scratch across time tiles,
-  written once per channel;
+  against a 0/1 segment matrix — no in-kernel reshapes — so the beam
+  voltages never leave VMEM; each (chan, time-tile) instance writes
+  only its ntime_sum-reduced power block (and the tiny VLBI slice),
+  24x less HBM traffic than the XLA path's full voltage planes;
 - the VLBI voltage downselect (beam-0 dual-pol pair,
   reference: blocks/beamform_vlbi_output_block.py:260-264) rides the
   same pass.
@@ -85,7 +86,7 @@ def stacked_gains(gains: BeamGains, ninput_padded: int) -> jax.Array:
     return jnp.concatenate([gr_hi, gr_lo, gi_hi, gi_lo], axis=1)
 
 
-def _make_kernel(nbeam: int, ntime_sum: int, ts: int, n_t: int,
+def _make_kernel(nbeam: int, ntime_sum: int, ts: int,
                  want_power: bool, want_vlbi: bool):
     from jax.experimental import pallas as pl
 
@@ -191,7 +192,7 @@ def beamform_products_pallas(packed: jax.Array, gstack: jax.Array,
         seg_np[k * ntime_sum:(k + 1) * ntime_sum, k] = 1.0
     seg = jnp.asarray(seg_np)
 
-    kernel = _make_kernel(nbeam, ntime_sum, ts, n_t, want_power,
+    kernel = _make_kernel(nbeam, ntime_sum, ts, want_power,
                           want_vlbi)
     in_specs = [
         pl.BlockSpec((1, ts, ni), lambda c, t: (c, t, 0)),

@@ -119,6 +119,20 @@ def _pfb_with_halo(adc_local: jax.Array, window: jax.Array, nchan: int,
                                   fft_impl=fft_impl)
 
 
+def _local_scale(scale, n_chan_shards: int, nchan: int):
+    """Slice a per-channel [nchan] requant/EQ vector to this chan-shard's
+    channels.  The fft-impl branches quantize AFTER the F->X corner-turn,
+    where each shard holds only ``nchan / n_chan_shards`` channels — the
+    tiled ``all_to_all`` gives shard *i* the *i*-th contiguous channel
+    tile, so the matching slice of the full vector applies.  Scalars (and
+    the unsharded case) pass through untouched."""
+    if n_chan_shards <= 1 or getattr(scale, "ndim", 0) != 1:
+        return scale
+    loc = nchan // n_chan_shards
+    ci = jax.lax.axis_index("chan")
+    return jax.lax.dynamic_slice_in_dim(scale, ci * loc, loc)
+
+
 def _halo_extend(adc_local: jax.Array, nchan: int, ntap: int,
                  axis: str) -> jax.Array:
     """Prepend the (ntap-1) boundary frames of the left time-shard
@@ -189,7 +203,8 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
                                   cfg.pfb_ntap, "time",
                                   fft_impl=cfg.pfb_fft_impl)
             spec = corner_turn(spec)
-            packed = pfb_ops.quantize_4bit(spec, quant_scale)
+            packed = pfb_ops.quantize_4bit(
+                spec, _local_scale(quant_scale, n_chan_shards, cfg.nchan))
         vis_part = _corr_gulp(cfg, packed)
         vis = Vis(jax.lax.psum(vis_part.real, "time"),
                   jax.lax.psum(vis_part.imag, "time"))
@@ -457,7 +472,8 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                                           cfg.pfb_ntap,
                                           fft_impl=cfg.pfb_fft_impl)
             spec = corner_turn(spec)
-            packed = pfb_ops.quantize_4bit(spec, quant_scale)
+            packed = pfb_ops.quantize_4bit(
+                spec, _local_scale(quant_scale, n_chan_shards, cfg.nchan))
         return _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r,
                               gains_i, pairs, n_chan_shards, fast_first,
                               fast_last, slow_first, want_power,

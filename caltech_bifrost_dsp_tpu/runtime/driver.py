@@ -18,6 +18,7 @@ gbps).
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 
@@ -406,9 +407,17 @@ class XEnginePipeline:
         self._raw_gulp_nbyte = raw_gulp
         win_gulps = max(1, cfg.acc_len // cfg.ntime_gulp)
         nwin = max(3, -(-(1 << 22) // (win_gulps * raw_gulp)))
-        self.staging = Ring("staging",
-                            nbyte_budget=nwin * win_gulps * raw_gulp,
-                            backing=True)
+        # The backed ring commits (and pre-faults) its whole capacity up
+        # front; f32-ADC FX at production shape would commit ~7.8 GB
+        # before any data flows.  Past a budget (default 3 GB,
+        # CBD_STAGING_MAX_BYTES to override) fall back to on-demand heap
+        # spans — correctness is identical, windows just pay the
+        # assemble-time concatenate instead of the zero-copy view.
+        total = nwin * win_gulps * raw_gulp
+        backing_max = int(os.environ.get("CBD_STAGING_MAX_BYTES",
+                                         3 << 30))
+        self.staging = Ring("staging", nbyte_budget=total,
+                            backing=total <= backing_max)
         self.history = None
         self.dump_cmd = None
         if history_nbyte:
@@ -584,13 +593,13 @@ class XEnginePipeline:
         immediately); the stub-device path (bench_pipeline
         --stub-device) and heap spans need no copy."""
         cfg = self.cfg
-        if len(spans) == 1:
-            flat = self.staging.contiguous_view(spans)
-            blk = spans[0] if flat is None else flat.view(spans[0].dtype)
+        flat = self.staging.contiguous_view(spans)
+        if flat is not None:
+            blk = flat.view(spans[0].dtype)
+        elif len(spans) == 1:
+            blk = spans[0]
         else:
-            flat = self.staging.contiguous_view(spans)
-            blk = (np.concatenate([s.reshape(-1) for s in spans])
-                   if flat is None else flat.view(spans[0].dtype))
+            blk = np.concatenate([s.reshape(-1) for s in spans])
         blk = blk.reshape(-1, cfg.nchan, cfg.ninput)
         if flat is None and len(spans) > 1:
             # already a private copy; ring slots (if any) free now

@@ -186,6 +186,11 @@ def main(argv=None) -> int:
               f"({results[key]['msamples_per_s_per_chip']:.1f}/chip)",
               file=sys.stderr)
     done = sorted(results, key=lambda k: (results[k]["n"], k))
+    if not done:
+        print(json.dumps({"metric": "fx_scaling_strong",
+                          "error": "no mesh shape ran (too few devices "
+                                   "or non-divisible shape); see stderr"}))
+        return 1
     base = results[done[0]]
     out = {"metric": "fx_scaling_strong",
            "platform": jax.devices()[0].platform,

@@ -182,9 +182,10 @@ static void rx_loop(CbdCapture *c) {
         if (s.gulp_id >= c->emit_next && s.npkt > 0 && !s.ready) {
           // overwriting a not-yet-emitted slot: stream advanced by more
           // than the ring depth; count its holes and drop it
-          c->nmissing.fetch_add(
-              c->expected_pkts_per_gulp - s.npkt,
-              std::memory_order_relaxed);
+          if (c->expected_pkts_per_gulp > s.npkt)  // dup-safe (mixed mode
+            c->nmissing.fetch_add(                 // can overshoot npkt)
+                c->expected_pkts_per_gulp - s.npkt,
+                std::memory_order_relaxed);
           if (c->emit_next == s.gulp_id) c->emit_next = s.gulp_id + 1;
         }
         s.gulp_id = gulp_id;
@@ -229,7 +230,13 @@ static void rx_loop(CbdCapture *c) {
       c->npkt.fetch_add(1, std::memory_order_relaxed);
       c->ngood_bytes.fetch_add(payload, std::memory_order_relaxed);
       if (gulp_id > c->highest_gulp) c->highest_gulp = gulp_id;
-      if (s.npkt == c->expected_pkts_per_gulp) s.ready = true;
+      // mixed geometry: expected_pkts_per_gulp was learned from the
+      // FIRST geometry and no longer predicts completeness (and without
+      // the landing bitmap a duplicate inflates npkt) — never derive
+      // readiness from the count there; emission falls back to the
+      // lead-distance rule, and claim-time zeroing covers the holes
+      if (!c->mixed_geometry && s.npkt == c->expected_pkts_per_gulp)
+        s.ready = true;
     }
     c->cv.notify_all();
   }
@@ -301,7 +308,7 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
       Slot &s = c->slot_for(c->emit_next);
       bool passed = c->highest_gulp >= c->emit_next + c->lead;
       if (s.gulp_id == c->emit_next && (s.ready || passed)) {
-        if (!s.ready)
+        if (!s.ready && c->expected_pkts_per_gulp > s.npkt)
           c->nmissing.fetch_add(c->expected_pkts_per_gulp - s.npkt,
                                 std::memory_order_relaxed);
         int64_t seq0 = s.gulp_id * c->ntime_gulp;

@@ -337,3 +337,60 @@ def test_full_rate_dual_engine_aggregate():
     gbps = 8 * r["ngot"] * data.nbytes / r["dt"] / 1e9
     assert r["nmissing"] == 0, f"lost {r['nmissing']} packets"
     assert gbps >= 1.5 * 25.9, f"aggregate only {gbps:.2f} Gb/s"
+
+
+def test_mixed_geometry_duplicates_do_not_fake_completeness():
+    """After a mid-stream packet-geometry change (mixed mode: no landing
+    bitmap), expected_pkts_per_gulp no longer predicts completeness, so
+    the count must not mark gulps ready at all — duplicates would inflate
+    it past 'expected' and emit a gulp early, dropping the real packets
+    still in flight.  Mixed-mode gulps release on the lead-distance rule
+    with claim-time zeroing (advisor finding, capture.cpp mixed mode)."""
+    import socket
+    import struct
+    import time
+
+    cfg = cfgmod.XEngineConfig(nstand=16, nchan=32, ntime_gulp=4,
+                               acc_len=240, acc_len_slow=480, nbeam=4,
+                               ntime_sum=4, npipeline=2)
+    port = PORT + 29
+    cap = native.NativeCapture(cfg, "127.0.0.1", port, nbuf=2)
+    cap.start()
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    dst = ("127.0.0.1", port)
+
+    def pkt(seq, npol, pol0, fill):
+        hdr = struct.pack("<QIHHHHIII", seq, 0xAABBCCDD, npol,
+                          cfg.ninput, cfg.nchan, cfg.nchan, 0, 0, pol0)
+        return hdr + bytes([fill]) * (cfg.nchan * npol)
+
+    # gulp 0: first geometry (whole-row) -> expected = ntime_gulp = 4
+    for t in range(cfg.ntime_gulp):
+        tx.sendto(pkt(t, cfg.ninput, 0, 0x11), dst)
+    seq0, _ = cap.get_gulp(timeout_s=5.0)
+    assert seq0 == 0
+
+    # gulp 1: half-row packets flip mixed mode; send the SAME packet 4
+    # times -- with count-based readiness this reaches 'expected' and
+    # emits an almost-empty gulp immediately
+    half = cfg.ninput // 2
+    g1 = cfg.ntime_gulp
+    for _ in range(4):
+        tx.sendto(pkt(g1, half, 0, 0x22), dst)
+    time.sleep(0.05)
+    seq0, _ = cap.get_gulp(timeout_s=0.3)
+    assert seq0 is None  # must NOT be ready off the dup-inflated count
+
+    # the rest of gulp 1 is merely late, not lost
+    tx.sendto(pkt(g1, half, half, 0x22), dst)
+    for t in range(1, cfg.ntime_gulp):
+        tx.sendto(pkt(g1 + t, half, 0, 0x22), dst)
+        tx.sendto(pkt(g1 + t, half, half, 0x22), dst)
+    # advance the stream one full gulp so gulp 1 passes the lead rule
+    for t in range(cfg.ntime_gulp):
+        tx.sendto(pkt(2 * cfg.ntime_gulp + t, cfg.ninput, 0, 0x33), dst)
+    seq0, data = cap.get_gulp(timeout_s=5.0)
+    assert seq0 == g1
+    assert (data == 0x22).all()  # every late packet landed, no holes
+    tx.close()
+    cap.close()

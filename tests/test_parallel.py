@@ -219,3 +219,54 @@ def test_fx_sharded_int8_adc_matches_f32(rng):
                                       np.asarray(out32.vis.real))
         np.testing.assert_array_equal(np.asarray(out8.vis.imag),
                                       np.asarray(out32.vis.imag))
+
+
+@pytest.mark.parametrize("impl", ["fft", "matmul"])
+def test_fx_sharded_per_channel_eq_vector(rng, impl):
+    """A per-channel [nchan] EQ/requant vector through the chan-sharded
+    FX program equals the unsharded reference — the fft-impl branch
+    quantizes AFTER the corner-turn, so each shard must slice its local
+    channel range out of the full vector (regression: the full-length
+    vector used to broadcast-fail against the local channel count)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 virtual devices")
+    cfg = CFG.replace(pfb_fft_impl=impl)
+    mesh = pmesh.make_mesh(2, 4)
+    nspec_total = 8 * CFG.ntime_sum
+    adc, window, gains, pairs = _fx_inputs(rng, nspec_total)
+    eq = jnp.asarray(np.linspace(0.5, 2.0, CFG.nchan).astype(np.float32))
+    fn = jax.jit(pmesh.fx_sharded_fn(cfg, mesh))
+    with jax.set_mesh(mesh):
+        out = fn(adc, window, gains, pairs, eq)
+        vis_r = np.asarray(out.vis.real)
+        vis_i = np.asarray(out.vis.imag)
+        sub_r = np.asarray(out.subsel.real)
+    ref = pmesh.fx_reference_unsharded(CFG, adc, window, gains, pairs,
+                                       eq, n_time_shards=2)
+    np.testing.assert_array_equal(vis_r, np.asarray(ref.vis.real))
+    np.testing.assert_array_equal(vis_i, np.asarray(ref.vis.imag))
+    np.testing.assert_array_equal(sub_r, np.asarray(ref.subsel.real))
+
+
+def test_fx_sharded_state_per_channel_eq_vector(rng):
+    """Same regression against the stateful sharded FX step's fft branch
+    (runtime eq_gains command on a mesh pipeline)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 virtual devices")
+    cfg = CFG.replace(pfb_fft_impl="fft")
+    mesh = pmesh.make_mesh(2, 4)
+    fn = pmesh.fx_sharded_state_fn(cfg, mesh, fast_first=True,
+                                   fast_last=True, slow_first=True,
+                                   want_power=False, want_vlbi=False)
+    nspec_total = 8 * CFG.ntime_sum
+    adc, window, gains, pairs = _fx_inputs(rng, nspec_total)
+    eq = jnp.asarray(np.linspace(0.5, 2.0, CFG.nchan).astype(np.float32))
+    state = pmesh.zero_sharded_state(cfg, mesh)
+    halo = (cfg.pfb_ntap - 1) * 2 * cfg.nchan
+    carry = jnp.zeros([halo, cfg.ninput], adc.dtype)
+    with jax.set_mesh(mesh):
+        _, outs, _ = fn(state, adc, carry, window, eq, gains, pairs)
+        fast_r = np.asarray(outs.vis.real)
+    ref = pmesh.fx_reference_unsharded(cfg, adc, window, gains, pairs,
+                                       eq, n_time_shards=2)
+    np.testing.assert_array_equal(fast_r, np.asarray(ref.vis.real))
