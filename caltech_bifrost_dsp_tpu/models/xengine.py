@@ -78,6 +78,19 @@ def bf_operand_ni(cfg: XEngineConfig) -> int:
     return cfg.ninput
 
 
+def _subsel(fast: Vis, subsel_pairs: jax.Array, cfg: XEngineConfig,
+            interpret: bool) -> Vis:
+    """Subselection engine dispatch: XLA flat ``take()`` or the Pallas
+    two-lane-gather kernel (one HBM cube read vs take's ~2.7x; both
+    gather the same int32 elements, output bit-identical)."""
+    if cfg.subsel_engine == "pallas":
+        from ..ops.pallas.subsel_gather import corr_subsel_pallas
+
+        return corr_subsel_pallas(fast, subsel_pairs, cfg.nchan_sum,
+                                  interpret=interpret)
+    return cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
+
+
 def _beam_products(packed, gains, cfg: XEngineConfig, want_power: bool,
                    want_vlbi: bool, interpret: bool):
     """Beamformer product dispatch (XLA path or the fused Pallas
@@ -160,7 +173,7 @@ def xengine_step(state: XEngineState,
             packed, None if fast_first else state.vis_fast,
             state.vis_slow, fast_first, fast_last, slow_first,
             interpret=interpret)
-        subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
+        subsel = _subsel(fast, subsel_pairs, cfg, interpret)
         power, vlbi = _beam_products(packed, gains, cfg, want_power,
                                      want_vlbi, interpret)
         return (XEngineState(fast, slow),
@@ -192,7 +205,7 @@ def xengine_step(state: XEngineState,
     slow_candidate = _sel(slow_first, fast, state.vis_slow + fast)
     slow = _sel(fast_last, slow_candidate, state.vis_slow)
 
-    subsel = cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
+    subsel = _subsel(fast, subsel_pairs, cfg, interpret)
     power, vlbi = _beam_products(packed, gains, cfg, want_power,
                                  want_vlbi, interpret)
     return (XEngineState(fast, slow),

@@ -131,6 +131,14 @@ def main(argv=None) -> int:
                     + 2 * (C // cfg.nchan_sum) * cfg.nvis_out * 4),
             "flops": 0,
         },
+        "subsel_pallas": {
+            # lane-gather kernel: reads each channel plane into VMEM
+            # exactly once — its floor is one cube read, vs take()'s
+            # measured ~2.7x of that
+            "hbm": (vis_bytes
+                    + 2 * (C // cfg.nchan_sum) * cfg.nvis_out * 4),
+            "flops": 0,
+        },
         "slow_accum": {
             "hbm": 3 * vis_bytes,              # read new + read acc + write
             "flops": 0,
@@ -188,6 +196,13 @@ def main(argv=None) -> int:
             (vis, vis),
             jax.jit(probe_vis)),
     }
+
+    from ..ops.pallas.subsel_gather import corr_subsel_pallas
+    stages["subsel_pallas"] = (
+        jax.jit(lambda v, pr: corr_subsel_pallas(v, pr, cfg.nchan_sum)),
+        (vis, pairs),
+        jax.jit(lambda v: jnp.sum(v.real[0, :8])
+                + jnp.sum(v.imag[1, :8])))
 
     # engine stages (the production bench.py configuration)
     from ..ops.pallas.beamform_fused import (beamform_products_pallas,

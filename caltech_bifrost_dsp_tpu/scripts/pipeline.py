@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beamformer engine: XLA matmuls + power pass, "
                         "or the fused Pallas kernel (voltages never "
                         "touch HBM)")
+    p.add_argument("--subsel-engine", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="baseline-subselection engine: XLA flat take() "
+                        "or the Pallas lane-gather kernel (one HBM cube "
+                        "read; bit-identical output)")
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="FX channelizer engine: XLA matmul path or the "
@@ -169,7 +174,8 @@ def build_pipeline(args, log) -> XEnginePipeline:
         acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
         pfb_fft_impl=args.pfb_impl, pfb_engine=args.pfb_engine,
         pfb_precision=args.pfb_precision, adc_dtype=args.adc_dtype,
-        corr_engine=args.corr_engine, bf_engine=args.bf_engine)
+        corr_engine=args.corr_engine, bf_engine=args.bf_engine,
+        subsel_engine=args.subsel_engine)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 

@@ -29,6 +29,28 @@ def test_pallas_subsel_matches_xla(rng, nv):
                                   np.asarray(ref.imag))
 
 
+@pytest.mark.parametrize("corr_engine", ["xla", "pallas_blk"])
+def test_step_subsel_engine_parity(rng, corr_engine):
+    """Full fused step with subsel_engine='pallas' is bit-identical to
+    the XLA take() path — including on the block engine's 256-padded
+    accumulators."""
+    from caltech_bifrost_dsp_tpu import config as cfgmod
+    from caltech_bifrost_dsp_tpu.models import xengine
+
+    base = cfgmod.TINY.replace(corr_engine=corr_engine)
+    outs = {}
+    for eng in ("xla", "pallas"):
+        cfg = base.replace(subsel_engine=eng)
+        state, packed, gains, pairs = xengine.default_inputs(cfg)
+        _, out = xengine.xengine_step_jit(state, packed, gains, pairs,
+                                          True, True, False, cfg)
+        outs[eng] = out.subsel
+    np.testing.assert_array_equal(np.asarray(outs["pallas"].real),
+                                  np.asarray(outs["xla"].real))
+    np.testing.assert_array_equal(np.asarray(outs["pallas"].imag),
+                                  np.asarray(outs["xla"].imag))
+
+
 def test_pallas_subsel_conjugation_sign(rng):
     """Pairs with i0 > i1 must return the conjugate (negated imag) of
     the upper-triangle element, exactly as the XLA path."""
