@@ -79,10 +79,18 @@ def bf_operand_ni(cfg: XEngineConfig) -> int:
 
 
 def _subsel(fast: Vis, subsel_pairs: jax.Array, cfg: XEngineConfig,
-            interpret: bool) -> Vis:
+            interpret: bool, fast_last, want_subsel: bool) -> Vis | None:
     """Subselection engine dispatch: XLA flat ``take()`` or the Pallas
     two-lane-gather kernel (one HBM cube read vs take's ~2.7x; both
-    gather the same int32 elements, output bit-identical)."""
+    gather the same int32 elements, output bit-identical).
+
+    Skipped entirely (returns ``None``) when no subsel sink exists
+    (``want_subsel=False`` — the reference pipeline built without the
+    CorrSubsel block) or when ``fast_last`` is a *static* False: subsel
+    consumes fast *dumps* (corr_subsel_block.py:298), so mid-window
+    gulps in per-gulp driver mode need not pay the gather."""
+    if not want_subsel or fast_last is False:
+        return None
     if cfg.subsel_engine == "pallas":
         from ..ops.pallas.subsel_gather import corr_subsel_pallas
 
@@ -132,7 +140,8 @@ def xengine_step(state: XEngineState,
                  slow_first: jax.Array,
                  cfg: XEngineConfig,
                  want_power: bool = True,
-                 want_vlbi: bool = True
+                 want_vlbi: bool = True,
+                 want_subsel: bool = True
                  ) -> tuple[XEngineState, XEngineOutputs]:
     """Process one gulp.
 
@@ -157,6 +166,11 @@ def xengine_step(state: XEngineState,
         transfer).  When both are False the beamformer is skipped
         entirely, mirroring a reference pipeline built without the
         Beamform threads.
+      want_subsel: static flag — when False (no subsel sink) the
+        baseline-selection gather is skipped and ``outputs.subsel`` is
+        None.  It is also skipped when ``fast_last`` is a static False
+        (mid-window gulp in per-gulp mode: the driver only consumes
+        subsel on dump gulps).
     """
     interpret = jax.default_backend() == "cpu"
     if (cfg.corr_engine == "pallas_blk"
@@ -173,7 +187,8 @@ def xengine_step(state: XEngineState,
             packed, None if fast_first else state.vis_fast,
             state.vis_slow, fast_first, fast_last, slow_first,
             interpret=interpret)
-        subsel = _subsel(fast, subsel_pairs, cfg, interpret)
+        subsel = _subsel(fast, subsel_pairs, cfg, interpret, fast_last,
+                         want_subsel)
         power, vlbi = _beam_products(packed, gains, cfg, want_power,
                                      want_vlbi, interpret)
         return (XEngineState(fast, slow),
@@ -205,7 +220,8 @@ def xengine_step(state: XEngineState,
     slow_candidate = _sel(slow_first, fast, state.vis_slow + fast)
     slow = _sel(fast_last, slow_candidate, state.vis_slow)
 
-    subsel = _subsel(fast, subsel_pairs, cfg, interpret)
+    subsel = _subsel(fast, subsel_pairs, cfg, interpret, fast_last,
+                     want_subsel)
     power, vlbi = _beam_products(packed, gains, cfg, want_power,
                                  want_vlbi, interpret)
     return (XEngineState(fast, slow),
@@ -214,16 +230,18 @@ def xengine_step(state: XEngineState,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fast_first",
                                              "fast_last", "slow_first",
-                                             "want_power", "want_vlbi"))
+                                             "want_power", "want_vlbi",
+                                             "want_subsel"))
 def xengine_step_jit(state, packed, gains, subsel_pairs, fast_first: bool,
                      fast_last: bool, slow_first: bool,
                      cfg: XEngineConfig, want_power: bool = True,
-                     want_vlbi: bool = True):
+                     want_vlbi: bool = True, want_subsel: bool = True):
     """Boundary flags are *static* here (at most 8 specializations);
     XLA folds the accumulator selects to the taken branch."""
     return xengine_step(state, packed, gains, subsel_pairs,
                         bool(fast_first), bool(fast_last),
-                        bool(slow_first), cfg, want_power, want_vlbi)
+                        bool(slow_first), cfg, want_power, want_vlbi,
+                        want_subsel)
 
 
 def fx_step(state: XEngineState,
@@ -234,7 +252,7 @@ def fx_step(state: XEngineState,
             subsel_pairs: jax.Array,
             fast_first, fast_last, slow_first,
             cfg: XEngineConfig, want_power: bool = True,
-            want_vlbi: bool = True
+            want_vlbi: bool = True, want_subsel: bool = True
             ) -> tuple[XEngineState, XEngineOutputs]:
     """FX variant: raw ADC samples -> PFB -> 4-bit requant -> X/B step.
 
@@ -260,17 +278,18 @@ def fx_step(state: XEngineState,
         packed = pfb_ops.quantize_4bit(spec, quant_scale)
     return xengine_step(state, packed, gains, subsel_pairs, fast_first,
                         fast_last, slow_first, cfg, want_power,
-                        want_vlbi)
+                        want_vlbi, want_subsel)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "want_power",
-                                             "want_vlbi"))
+                                             "want_vlbi", "want_subsel"))
 def fx_step_jit(state, adc, window, quant_scale, gains, subsel_pairs,
                 fast_first, fast_last, slow_first, cfg: XEngineConfig,
-                want_power: bool = True, want_vlbi: bool = True):
+                want_power: bool = True, want_vlbi: bool = True,
+                want_subsel: bool = True):
     return fx_step(state, adc, window, quant_scale, gains, subsel_pairs,
                    fast_first, fast_last, slow_first, cfg, want_power,
-                   want_vlbi)
+                   want_vlbi, want_subsel)
 
 
 def dense_vis(vis, cfg: XEngineConfig):

@@ -270,7 +270,8 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
 
 def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
                    pairs, n_chan_shards, fast_first, fast_last,
-                   slow_first, want_power, want_vlbi):
+                   slow_first, want_power, want_vlbi,
+                   want_subsel=True):
     """Shared per-shard tail of the stateful sharded steps.
 
     The fast accumulator is carried as *per-time-shard partial sums*
@@ -292,9 +293,10 @@ def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
         vis = Vis(jax.lax.psum(part.real, "time"),
                   jax.lax.psum(part.imag, "time"))
         slow = vis if slow_first else Vis(sr + vis.real, si + vis.imag)
-        subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
-        out += [slow.real, slow.imag, vis.real, vis.imag,
-                subsel.real, subsel.imag]
+        out += [slow.real, slow.imag, vis.real, vis.imag]
+        if want_subsel:
+            subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+            out += [subsel.real, subsel.imag]
     else:
         out += [sr, si]
     if want_power or want_vlbi:
@@ -312,12 +314,15 @@ def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
     return tuple(out)
 
 
-def _state_out_specs(fast_last, want_power, want_vlbi):
+def _state_out_specs(fast_last, want_power, want_vlbi,
+                     want_subsel=True):
     vis_spec = P("chan", None, None)
     part_spec = P("time", "chan", None, None)
     out_specs = [part_spec, part_spec, vis_spec, vis_spec]
     if fast_last:
-        out_specs += [vis_spec, vis_spec, P("chan", None), P("chan", None)]
+        out_specs += [vis_spec, vis_spec]
+        if want_subsel:
+            out_specs += [P("chan", None), P("chan", None)]
     if want_power:
         out_specs.append(P(None, "time", "chan", None))
     if want_vlbi:
@@ -325,13 +330,19 @@ def _state_out_specs(fast_last, want_power, want_vlbi):
     return tuple(out_specs)
 
 
-def _state_unpack(res, fast_last, want_power, want_vlbi):
+def _state_unpack(res, fast_last, want_power, want_vlbi,
+                  want_subsel=True):
     fr, fi, sr, si = res[:4]
     rest = list(res[4:])
     if fast_last:
-        vr, vi, subr, subi = rest[:4]
-        rest = rest[4:]
-        vis, subsel = Vis(vr, vi), Vis(subr, subi)
+        vr, vi = rest[:2]
+        rest = rest[2:]
+        vis = Vis(vr, vi)
+        if want_subsel:
+            subsel = Vis(rest[0], rest[1])
+            rest = rest[2:]
+        else:
+            subsel = None
     else:
         vis = subsel = None
     power = rest.pop(0) if want_power else None
@@ -359,7 +370,8 @@ def zero_sharded_state(cfg: XEngineConfig, mesh: Mesh):
 def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                              fast_first: bool, fast_last: bool,
                              slow_first: bool, want_power: bool = True,
-                             want_vlbi: bool = True):
+                             want_vlbi: bool = True,
+                             want_subsel: bool = True):
     """Stateful sharded fused step: the multi-chip analog of
     ``models.xengine.xengine_step``.
 
@@ -382,7 +394,7 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         return _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r,
                               gains_i, pairs, n_chan_shards, fast_first,
                               fast_last, slow_first, want_power,
-                              want_vlbi)
+                              want_vlbi, want_subsel)
 
     vis_spec = P("chan", None, None)
     part_spec = P("time", "chan", None, None)
@@ -391,14 +403,16 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         in_specs=(part_spec, part_spec, vis_spec, vis_spec,
                   P("time", "chan", None),
                   P("chan", None, None), P("chan", None, None), P()),
-        out_specs=_state_out_specs(fast_last, want_power, want_vlbi),
+        out_specs=_state_out_specs(fast_last, want_power, want_vlbi,
+                                   want_subsel),
         check_vma=False)
 
     def fn(state, packed, gains: bf.BeamGains, pairs):
         res = mapped(
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             packed, gains.real, gains.imag, pairs)
-        return _state_unpack(res, fast_last, want_power, want_vlbi)
+        return _state_unpack(res, fast_last, want_power, want_vlbi,
+                             want_subsel)
 
     return fn
 
@@ -406,7 +420,8 @@ def xengine_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
 def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                         fast_first: bool, fast_last: bool,
                         slow_first: bool, want_power: bool = True,
-                        want_vlbi: bool = True):
+                        want_vlbi: bool = True,
+                        want_subsel: bool = True):
     """Stateful sharded FX step: the streaming-driver analog of
     :func:`fx_sharded_fn` — PFB with on-mesh halo exchange, F->X
     corner-turn, requant, then the accumulating X/B step of
@@ -477,7 +492,7 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
         return _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r,
                               gains_i, pairs, n_chan_shards, fast_first,
                               fast_last, slow_first, want_power,
-                              want_vlbi)
+                              want_vlbi, want_subsel)
 
     vis_spec = P("chan", None, None)
     part_spec = P("time", "chan", None, None)
@@ -489,7 +504,8 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
                   P(),                     # window
                   P("chan", None, None), P("chan", None, None),
                   P(), P()),
-        out_specs=_state_out_specs(fast_last, want_power, want_vlbi),
+        out_specs=_state_out_specs(fast_last, want_power, want_vlbi,
+                                   want_subsel),
         check_vma=False)
 
     def fn(state, adc, carry_tail, window, quant_scale,
@@ -498,7 +514,8 @@ def fx_sharded_state_fn(cfg: XEngineConfig, mesh: Mesh,
             state[0].real, state[0].imag, state[1].real, state[1].imag,
             adc, carry_tail, window, gains.real, gains.imag, pairs,
             quant_scale)
-        return _state_unpack(res, fast_last, want_power, want_vlbi)
+        return _state_unpack(res, fast_last, want_power, want_vlbi,
+                             want_subsel)
 
     return fn
 

@@ -451,6 +451,11 @@ class XEnginePipeline:
         # runtime commands only retarget destinations)
         self._want_power = bool(self.pbeam_outputs)
         self._want_vlbi = bool(self.ibeam_outputs)
+        # likewise the baseline-selection gather: skipped when no
+        # subsel sink exists (and, with static boundary flags, on
+        # mid-window gulps in per-gulp mode — subsel consumes fast
+        # dumps, corr_subsel_block.py:298)
+        self._want_subsel = bool(self.subsel_outputs)
         # FX mode: source delivers raw f32 ADC samples; the device step
         # prepends the PFB channelizer + 4-bit requant.  The (ntap-1)
         # boundary frames are carried between blocks on the host (the
@@ -650,7 +655,8 @@ class XEnginePipeline:
                         pmesh.fx_sharded_state_fn(
                             cfg, self.mesh, *key,
                             want_power=self._want_power,
-                            want_vlbi=self._want_vlbi))
+                            want_vlbi=self._want_vlbi,
+                            want_subsel=self._want_subsel))
                 adc = block.reshape(-1, cfg.ninput)
                 tail_prev = self._adc_tail
                 self._adc_tail = adc[-tail_prev.shape[0]:].copy()
@@ -669,7 +675,8 @@ class XEnginePipeline:
                     pmesh.xengine_sharded_state_fn(
                         cfg, self.mesh, *key,
                         want_power=self._want_power,
-                        want_vlbi=self._want_vlbi))
+                        want_vlbi=self._want_vlbi,
+                        want_subsel=self._want_subsel))
             with _jax.set_mesh(self.mesh):
                 st, out, vlbi = self._mesh_steps[key](
                     st, jnp.asarray(block), gains_dev,
@@ -686,13 +693,14 @@ class XEnginePipeline:
                 self.state, jnp.asarray(adc_ext), self._window,
                 self.feng_cmd.scale_device, gains_dev,
                 self.subsel_cmd.pairs_device, is_first, is_dump,
-                slow_first, cfg, self._want_power, self._want_vlbi)
+                slow_first, cfg, self._want_power, self._want_vlbi,
+                self._want_subsel)
             return out
         packed = jnp.asarray(block)
         self.state, out = xengine.xengine_step_jit(
             self.state, packed, gains_dev, self.subsel_cmd.pairs_device,
             is_first, is_dump, slow_first, cfg, self._want_power,
-            self._want_vlbi)
+            self._want_vlbi, self._want_subsel)
         return out
 
     def _emit(self, out, t, hdr, dec, slow_dec):
@@ -710,8 +718,9 @@ class XEnginePipeline:
         if out.vlbi is not None:
             products["vlbi"] = out.vlbi
         if dec.action == Action.DUMP:
-            products["subsel"] = out.subsel
-            products["subsel_baselines"] = self.subsel_cmd.baselines
+            if out.subsel is not None:
+                products["subsel"] = out.subsel
+                products["subsel_baselines"] = self.subsel_cmd.baselines
             products["fast_seq0"] = dec.seq0
             products["acc_len"] = dec.acc_len
             self.ndump_fast += 1

@@ -98,6 +98,24 @@ def test_step_outputs_shapes():
                                      CFG.nvis_out)
 
 
+def test_subsel_gated_by_sink_and_dump_flag():
+    """subsel is skipped (None) when no subsel sink exists, and on
+    static mid-window gulps — but the accumulator algebra is unchanged."""
+    state, packed, gains, pairs = xengine.default_inputs(CFG)
+    st_ref, out_ref = xengine.xengine_step_jit(
+        state, packed, gains, pairs, True, True, True, CFG)
+    st_no, out_no = xengine.xengine_step_jit(
+        state, packed, gains, pairs, True, True, True, CFG,
+        want_subsel=False)
+    assert out_no.subsel is None
+    np.testing.assert_array_equal(np.asarray(st_no.vis_fast.real),
+                                  np.asarray(st_ref.vis_fast.real))
+    # mid-window (static fast_last=False): gather skipped too
+    _, out_mid = xengine.xengine_step_jit(
+        state, packed, gains, pairs, True, False, False, CFG)
+    assert out_mid.subsel is None
+
+
 def test_beam_outputs_match_direct_ops(rng):
     state, packed, _, pairs = xengine.default_inputs(CFG)
     g = (rng.standard_normal([CFG.nchan, CFG.nbeam, CFG.ninput])
