@@ -83,6 +83,19 @@ def _beam_products_shard(cfg: XEngineConfig, packed, gains_r, gains_i,
     return power, vlbi
 
 
+def _subsel_shard(cfg: XEngineConfig, vis: Vis, pairs) -> Vis:
+    """Per-shard subselection honoring ``cfg.subsel_engine`` (each
+    chan-shard owns whole channels and the full input axis, so the
+    gather is shard-local and bit-exact vs the unsharded engine)."""
+    if cfg.subsel_engine == "pallas":
+        from ..ops.pallas.subsel_gather import corr_subsel_pallas
+
+        return corr_subsel_pallas(vis, pairs, cfg.nchan_sum,
+                                  interpret=jax.default_backend()
+                                  == "cpu")
+    return cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+
+
 def make_mesh(n_time: int = 1, n_chan: int | None = None,
               devices=None) -> Mesh:
     """Build a ('time', 'chan') mesh over the given (or all) devices."""
@@ -208,7 +221,7 @@ def fx_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
         vis_part = _corr_gulp(cfg, packed)
         vis = Vis(jax.lax.psum(vis_part.real, "time"),
                   jax.lax.psum(vis_part.imag, "time"))
-        subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+        subsel = _subsel_shard(cfg, vis, pairs)
         power, _ = _beam_products_shard(cfg, packed, gains_r, gains_i)
         return (vis.real, vis.imag, subsel.real, subsel.imag, power)
 
@@ -247,7 +260,7 @@ def xengine_sharded_fn(cfg: XEngineConfig, mesh: Mesh):
         vis_part = _corr_gulp(cfg, packed)
         vis = Vis(jax.lax.psum(vis_part.real, "time"),
                   jax.lax.psum(vis_part.imag, "time"))
-        subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+        subsel = _subsel_shard(cfg, vis, pairs)
         power, _ = _beam_products_shard(cfg, packed, gains_r, gains_i)
         return (vis.real, vis.imag, subsel.real, subsel.imag, power)
 
@@ -295,7 +308,7 @@ def _state_xb_tail(cfg, fr, fi, sr, si, packed, gains_r, gains_i,
         slow = vis if slow_first else Vis(sr + vis.real, si + vis.imag)
         out += [slow.real, slow.imag, vis.real, vis.imag]
         if want_subsel:
-            subsel = cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+            subsel = _subsel_shard(cfg, vis, pairs)
             out += [subsel.real, subsel.imag]
     else:
         out += [sr, si]

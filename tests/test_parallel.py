@@ -174,7 +174,8 @@ def test_xengine_sharded_with_pallas_engines(rng):
     from caltech_bifrost_dsp_tpu.ops.pallas.corr_blk import packed_corr_blk
     from caltech_bifrost_dsp_tpu.ops.pallas.corr_triu import mirror_vis
 
-    cfg = CFG.replace(corr_engine="pallas_blk", bf_engine="pallas")
+    cfg = CFG.replace(corr_engine="pallas_blk", bf_engine="pallas",
+                      subsel_engine="pallas")
     mesh = pmesh.make_mesh(2, 4)
     ntime = 4 * cfg.ntime_sum
     packed = jnp.asarray(rng.randint(
@@ -185,10 +186,18 @@ def test_xengine_sharded_with_pallas_engines(rng):
         out = fn(packed, gains, pairs)
         vis_r = np.asarray(out.vis.real)
         vis_i = np.asarray(out.vis.imag)
+        sub_r = np.asarray(out.subsel.real)
+        sub_i = np.asarray(out.subsel.imag)
         power = np.asarray(out.bf_power)
     ref = mirror_vis(packed_corr_blk(packed, interpret=True))
     np.testing.assert_array_equal(vis_r, np.asarray(ref.real))
     np.testing.assert_array_equal(vis_i, np.asarray(ref.imag))
+    from caltech_bifrost_dsp_tpu.ops.correlate import Vis
+    ref_sub = cs.corr_subsel(
+        Vis(jnp.asarray(vis_r), jnp.asarray(vis_i)), pairs,
+        cfg.nchan_sum)
+    np.testing.assert_array_equal(sub_r, np.asarray(ref_sub.real))
+    np.testing.assert_array_equal(sub_i, np.asarray(ref_sub.imag))
     gstack = stacked_gains(gains, cfg.ninput)
     ref_power, _ = beamform_products_pallas(
         packed, gstack, cfg.ntime_sum, want_vlbi=False, interpret=True)
