@@ -91,12 +91,8 @@ def _subsel(fast: Vis, subsel_pairs: jax.Array, cfg: XEngineConfig,
     gulps in per-gulp driver mode need not pay the gather."""
     if not want_subsel or fast_last is False:
         return None
-    if cfg.subsel_engine == "pallas":
-        from ..ops.pallas.subsel_gather import corr_subsel_pallas
-
-        return corr_subsel_pallas(fast, subsel_pairs, cfg.nchan_sum,
-                                  interpret=interpret)
-    return cs.corr_subsel(fast, subsel_pairs, cfg.nchan_sum)
+    return cs.corr_subsel_engine(fast, subsel_pairs, cfg.nchan_sum,
+                                 cfg.subsel_engine, interpret)
 
 
 def _beam_products(packed, gains, cfg: XEngineConfig, want_power: bool,

@@ -64,6 +64,12 @@ def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
     lo = jnp.minimum(i0, i1)
     hi = jnp.maximum(i0, i1)
     sign = jnp.where(i0 <= i1, 1, -1).astype(jnp.int32)
+    # malformed selections (a runtime 'baselines' command with a stand
+    # or pol out of range) clamp to the nearest valid input, so both
+    # engines stay bounded, deterministic, and identical; without this
+    # the flattened take() would wrap an OOB hi into the next row
+    lo = jnp.clip(lo, 0, ninput - 1)
+    hi = jnp.clip(hi, 0, ninput - 1)
 
     # Flatten the (lo, hi) pair to ONE take() axis: XLA lowers the
     # single-axis gather from the flattened [nchan, ninput^2] view much
@@ -82,6 +88,20 @@ def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
             axis=1, dtype=jnp.int32)
 
     return Vis(csum(sel_r), csum(sel_i))
+
+
+def corr_subsel_engine(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
+                       engine: str, interpret: bool) -> Vis:
+    """Engine dispatch shared by the fused step and the per-shard mesh
+    path: ``"xla"`` (flat take(), above) or ``"pallas"`` (the
+    lane-gather kernel — one HBM cube read vs take's ~2.7x; output
+    bit-identical)."""
+    if engine == "pallas":
+        from .pallas.subsel_gather import corr_subsel_pallas
+
+        return corr_subsel_pallas(vis, input_pairs, nchan_sum,
+                                  interpret=interpret)
+    return corr_subsel(vis, input_pairs, nchan_sum)
 
 
 def subsel_output_sfreq(sfreq: float, bw_hz: float, nchan: int,

@@ -69,6 +69,11 @@ def corr_subsel_pallas(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
     lo = jnp.minimum(i0, i1).astype(jnp.int32)
     hi = jnp.maximum(i0, i1).astype(jnp.int32)
     sign = jnp.where(i0 <= i1, 1, -1).astype(jnp.int32)
+    # clamp like XLA's take() does under jit: out-of-range pairs (a
+    # malformed runtime 'baselines' command) must stay bounded and
+    # deterministic — Mosaic's dynamic-gather OOB reads are undefined
+    lo = jnp.clip(lo, 0, ni - 1)
+    hi = jnp.clip(hi, 0, ni - 1)
 
     nvp = -(-nvis // _VCH) * _VCH
     pad = nvp - nvis
@@ -99,6 +104,7 @@ def corr_subsel_pallas(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
     sel_i = sel_i[:, :nvis] * sign
 
     def csum(x):
-        return x.reshape(nchan // nchan_sum, nchan_sum, nvis).sum(axis=1)
+        return x.reshape(nchan // nchan_sum, nchan_sum, nvis).sum(
+            axis=1, dtype=jnp.int32)
 
     return Vis(csum(sel_r), csum(sel_i))

@@ -87,13 +87,9 @@ def _subsel_shard(cfg: XEngineConfig, vis: Vis, pairs) -> Vis:
     """Per-shard subselection honoring ``cfg.subsel_engine`` (each
     chan-shard owns whole channels and the full input axis, so the
     gather is shard-local and bit-exact vs the unsharded engine)."""
-    if cfg.subsel_engine == "pallas":
-        from ..ops.pallas.subsel_gather import corr_subsel_pallas
-
-        return corr_subsel_pallas(vis, pairs, cfg.nchan_sum,
-                                  interpret=jax.default_backend()
-                                  == "cpu")
-    return cs.corr_subsel(vis, pairs, cfg.nchan_sum)
+    return cs.corr_subsel_engine(vis, pairs, cfg.nchan_sum,
+                                 cfg.subsel_engine,
+                                 jax.default_backend() == "cpu")
 
 
 def make_mesh(n_time: int = 1, n_chan: int | None = None,

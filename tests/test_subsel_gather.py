@@ -29,6 +29,25 @@ def test_pallas_subsel_matches_xla(rng, nv):
                                   np.asarray(ref.imag))
 
 
+def test_out_of_range_pairs_clamp_like_xla(rng):
+    """A malformed runtime baselines command (index >= ninput) must stay
+    bounded and deterministic in both engines: the kernel clamps its
+    gather indices exactly as XLA's take() does under jit."""
+    c, ni, nv = 4, 256, 96
+    vis = Vis(
+        jnp.asarray(rng.randint(-1000, 1000, [c, ni, ni])
+                    .astype(np.int32)),
+        jnp.asarray(rng.randint(-1000, 1000, [c, ni, ni])
+                    .astype(np.int32)))
+    pairs = jnp.asarray(rng.randint(0, 2 * ni, [nv, 2]).astype(np.int32))
+    ref = cs.corr_subsel(vis, pairs, 4)
+    got = corr_subsel_pallas(vis, pairs, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.real),
+                                  np.asarray(ref.real))
+    np.testing.assert_array_equal(np.asarray(got.imag),
+                                  np.asarray(ref.imag))
+
+
 @pytest.mark.parametrize("corr_engine", ["xla", "pallas_blk"])
 def test_step_subsel_engine_parity(rng, corr_engine):
     """Full fused step with subsel_engine='pallas' is bit-identical to
