@@ -238,6 +238,50 @@ class CaptureSource:
         self.capture.close()
 
 
+class AdcCaptureSource(CaptureSource):
+    """FX-mode UDP ADC ingest: raw int8 digitizer frames over the snap2
+    wire format, assembled by the native C++ engine straight into the
+    staging ring.
+
+    Wire convention: one snap2 "time" index = one spectrum frame of
+    L = 2*nchan real int8 samples per input; the packet header's chan
+    fields address sample chunks within the frame and the pol fields
+    address the input axis (payload bytes ARE the int8 samples — the
+    capture engine is geometry-parameterized bytes, so this reuses the
+    packed-voltage native path with nchan -> L).  Frames per gulp =
+    ``ntime_gulp``, so sequence numbers stay in output-spectra units
+    and the driver's arming/recovery arithmetic is unchanged.
+
+    The reference never ingests ADC samples (its F-engine is SNAP2
+    FPGA gateware upstream of the servers, docs/source/pipeline.rst);
+    this closes the BASELINE.json north-star chain Capture -> PFB ->
+    X/B over a real socket.  int8 only — the production digitizer
+    width (f32 ADC is a synthetic-source convenience, 4x the wire
+    bytes for nothing).
+    """
+
+    def __init__(self, cfg, bind_ip: str = "0.0.0.0", port: int = 10000,
+                 nbuf: int = 16, poll_s: float = 2.0):
+        if cfg.adc_np_dtype != np.int8:
+            raise ValueError("UDP ADC capture requires adc_dtype='int8'")
+        self._fx_cfg = cfg
+        super().__init__(cfg.replace(nchan=2 * cfg.nchan), bind_ip,
+                         port, nbuf=nbuf, poll_s=poll_s)
+
+    def header(self, **kw) -> dict:
+        h = self._sequence_header(self._fx_cfg, **kw)
+        h["nbit"] = 8
+        h["adc"] = True
+        return h
+
+    def stream(self, ngulp: int):
+        # non-zero-copy fallback path: reinterpret the capture bytes as
+        # the int8 samples they are (the fill_into path views the
+        # staging span via cfg.adc_np_dtype already)
+        for seq0, gulp in super().stream(ngulp):
+            yield seq0, gulp.view(np.int8)
+
+
 def cor5c_send_matrix(vis_re: np.ndarray, vis_im: np.ndarray, nstand: int,
                       npol: int, frame_number: int, secs_count: int,
                       freq_count: int, time_tag: int, navg: int,

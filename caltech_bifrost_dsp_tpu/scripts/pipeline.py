@@ -181,17 +181,25 @@ def build_pipeline(args, log) -> XEnginePipeline:
 
     if args.fx:
         if not args.fakesource:
-            raise SystemExit("FX mode currently requires --fakesource "
-                             "(ADC capture hardware is external)")
-        amp = args.adc_amplitude
-        if amp is None:
-            amp = 32.0 if args.adc_dtype == "int8" else 4.0
-        if args.fx_tone_chan >= 0:
-            src = source.ADCSource(cfg, mode="tone",
-                                   tone_chan=args.fx_tone_chan,
-                                   amplitude=amp)
+            # real UDP ADC ingest: int8 digitizer frames over the snap2
+            # wire format through the native capture engine
+            if args.adc_dtype != "int8":
+                raise SystemExit("--fx UDP capture requires "
+                                 "--adc-dtype int8 (the digitizer "
+                                 "width); f32 is fakesource-only")
+            from ..io import native
+
+            src = native.AdcCaptureSource(cfg, args.ip, args.port)
         else:
-            src = source.ADCSource(cfg, mode="noise", amplitude=amp)
+            amp = args.adc_amplitude
+            if amp is None:
+                amp = 32.0 if args.adc_dtype == "int8" else 4.0
+            if args.fx_tone_chan >= 0:
+                src = source.ADCSource(cfg, mode="tone",
+                                       tone_chan=args.fx_tone_chan,
+                                       amplitude=amp)
+            else:
+                src = source.ADCSource(cfg, mode="noise", amplitude=amp)
     elif args.fakesource:
         if args.testdatain:
             src = source.DummySource(
