@@ -94,11 +94,19 @@ def main(argv=None) -> int:
     p.add_argument("--h2d", action="store_true",
                    help="also device_put each gulp (measures the "
                         "device-feeding path; tunnel-bound on axon)")
+    p.add_argument("--adc", action="store_true",
+                   help="FX-mode wire geometry: int8 ADC frames "
+                        "(nchan -> 2*nchan bytes, the AdcCaptureSource "
+                        "path) instead of packed 4+4-bit voltages")
     args = p.parse_args(argv)
 
     from ..config import XEngineConfig
 
     cfg = XEngineConfig(nstand=352, nchan=192, ntime_gulp=480)
+    if args.adc:
+        # the capture engine is geometry-parameterized bytes: ADC mode
+        # is the same engine with L=2*nchan byte "channels" per frame
+        cfg = cfg.replace(nchan=2 * cfg.nchan)
     rng = np.random.RandomState(1)
     data = rng.randint(0, 256, [cfg.ntime_gulp, cfg.nchan, cfg.ninput]) \
         .astype(np.uint8)
@@ -117,8 +125,9 @@ def main(argv=None) -> int:
     total_pkts = max(r["npkt"] + r["nmissing"], 1)
     gbps = 8 * r["ngot"] * data.nbytes / r["dt"] / 1e9
     print(json.dumps({
-        "metric": "ingest_h2d_rate" if args.h2d else
-                  "ingest_sustained_rate",
+        "metric": ("ingest_adc_rate" if args.adc else
+                   "ingest_h2d_rate" if args.h2d else
+                   "ingest_sustained_rate"),
         "value": round(gbps, 2),
         "unit": "Gb/s",
         "vs_baseline": round(gbps / 25.9, 3),
