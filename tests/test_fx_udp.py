@@ -85,6 +85,52 @@ def test_fx_udp_adc_matches_inprocess_source():
     assert autos.argmax() == TONE_CHAN
 
 
+def test_fx_udp_survives_packet_loss():
+    """Dropped ADC packets become zero-filled holes (digitizer
+    silence): the pipeline still dumps, loss is accounted, and the
+    tone still dominates its channel."""
+    ngulp = CFG.acc_len_slow // CFG.ntime_gulp
+    gen = source.ADCSource(CFG, mode="tone", tone_chan=TONE_CHAN,
+                           amplitude=50.0)
+    src = native.AdcCaptureSource(CFG, "127.0.0.1", PORT + 7)
+    L = 2 * CFG.nchan
+
+    def tx():
+        for i in range(ngulp):
+            frames = gen.gulp(i).reshape(CFG.ntime_gulp, L, CFG.ninput)
+            native.transmit_gulp("127.0.0.1", PORT + 7,
+                                 frames.view(np.uint8),
+                                 seq0=i * CFG.ntime_gulp,
+                                 nchan_per_pkt=L // 4,
+                                 npol_per_pkt=CFG.ninput,
+                                 miss_every=50, delay_ns=20_000)
+        # advance the stream so the final lossy gulp passes the lead
+        # rule (the capture releases a holey gulp once later gulps land)
+        tail = np.zeros((CFG.ntime_gulp, L, CFG.ninput), np.uint8)
+        for j in range(2):
+            native.transmit_gulp("127.0.0.1", PORT + 7, tail,
+                                 seq0=(ngulp + j) * CFG.ntime_gulp,
+                                 nchan_per_pkt=L,
+                                 npol_per_pkt=CFG.ninput,
+                                 delay_ns=20_000)
+
+    t = threading.Thread(target=tx)
+    grab = _Grab()
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[grab],
+                           quant_scale=0.2, fx_mode=True)
+    t.start()
+    try:
+        pipe.run(ngulp, timeout_s=300)
+    finally:
+        t.join(timeout=30)
+        stats = src.stats()
+        src.close()
+    assert stats["nmissing"] > 0  # loss actually happened and is counted
+    assert grab.dumps
+    autos = np.real(grab.dumps[-1][:, 0, 0])
+    assert autos.argmax() == TONE_CHAN
+
+
 def test_adc_capture_source_rejects_f32():
     with pytest.raises(ValueError):
         native.AdcCaptureSource(CFG.replace(adc_dtype="float32"),
