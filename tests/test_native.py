@@ -148,10 +148,10 @@ def test_throughput_localhost():
     capture engine must sustain a paced ~11 Gb/s stream with (near) zero
     loss.  (bench_ingest measures the full 25.9 Gb/s reference bar —
     29+ Gb/s loss-free on a 4-core host; this test uses a lower offered
-    rate so CI-class contention cannot flake it.)  One retry absorbs a
-    transient host-load spike."""
+    rate so CI-class contention cannot flake it.)  Retries absorb
+    transient host-load spikes."""
     last = None
-    for attempt in range(2):
+    for attempt in range(3):
         try:
             _run_throughput(PORT + 2 + attempt)
             return
