@@ -111,12 +111,13 @@ def test_fx_pipeline_sharded_matches_single_device():
 
 
 def test_fx_pipeline_sharded_pallas_engine_matches_single_device():
-    """The fused Pallas channelizer under the sharded driver: packed
-    corner-turn + halo must still be bitwise-identical to the
-    single-device Pallas FX driver."""
+    """The full Pallas engine set (channelizer + subsel gather) under
+    the sharded driver: packed corner-turn + halo must still be
+    bitwise-identical to the single-device Pallas FX driver."""
     if len(jax.devices()) < 8:
         pytest.skip("need 8 virtual devices")
-    cfg = FX_CFG.replace(pfb_fft_impl="matmul", pfb_engine="pallas")
+    cfg = FX_CFG.replace(pfb_fft_impl="matmul", pfb_engine="pallas",
+                         subsel_engine="pallas")
     mesh = pmesh.make_mesh(2, 4)
     pipe_s, slow_s, sub_s, ib_s = _run_fx(None, cfg)
     pipe_m, slow_m, sub_m, ib_m = _run_fx(mesh, cfg)
