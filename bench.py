@@ -41,8 +41,14 @@ def main():
 
     # 256-block int8 Karatsuba correlator with fused accumulator algebra
     # + fused beamform/power kernel (ops/pallas/corr_blk.py,
-    # ops/pallas/beamform_fused.py)
-    cfg = LWA352.replace(corr_engine="pallas_blk", bf_engine="pallas")
+    # ops/pallas/beamform_fused.py).  CBD_BENCH_SUBSEL overrides the
+    # subselection engine for A/B measurement (default: the committed
+    # production choice).
+    import os as _os
+
+    cfg = LWA352.replace(corr_engine="pallas_blk", bf_engine="pallas",
+                         subsel_engine=_os.environ.get(
+                             "CBD_BENCH_SUBSEL", "xla"))
     state, _, gains, pairs = xengine.default_inputs(cfg)
     # prestack the beamformer gain operand once (the driver does the
     # same at gain-load time)
