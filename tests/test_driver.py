@@ -221,3 +221,22 @@ def test_write_autos_through_pipeline_control():
         autos = np.load(os.path.join(td, files[0]))
         assert autos.shape == (CFG.nstand, CFG.npol, CFG.nchan)
         assert (autos >= 0).all() and autos.sum() > 0
+
+
+def test_heap_staging_fallback_golden(goldenfiles, monkeypatch):
+    """CBD_STAGING_MAX_BYTES below the ring size forces the heap-span
+    staging fallback (no backed buffer): correctness must be identical
+    — the golden equality gate still passes end-to-end."""
+    monkeypatch.setenv("CBD_STAGING_MAX_BYTES", "1")
+    inp, corrfile, ntime = goldenfiles
+    src = source.DummySource(CFG, mode="testfile", testfile=inp)
+    corr_out = sink.CorrFullOutput(CFG, checkfile=corrfile,
+                                   checkfile_acc_len=CFG.acc_len)
+    pipe = XEnginePipeline(CFG, src, corr_outputs=[corr_out],
+                           selftest=True)
+    assert pipe.staging._backing is None  # the fallback actually engaged
+    pipe.run(ntime // CFG.ntime_gulp, timeout_s=180)
+    assert pipe.ndump_slow == ntime // CFG.acc_len_slow
+    assert corr_out.check_count == pipe.ndump_slow
+    assert corr_out.check_failures == 0
+    assert pipe.selftest_failures == 0
