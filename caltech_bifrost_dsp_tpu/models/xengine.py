@@ -277,8 +277,10 @@ def fx_step(state: XEngineState,
                         want_vlbi, want_subsel)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "want_power",
-                                             "want_vlbi", "want_subsel"))
+@functools.partial(jax.jit, static_argnames=("cfg", "fast_first",
+                                             "fast_last", "slow_first",
+                                             "want_power", "want_vlbi",
+                                             "want_subsel"))
 def fx_step_jit(state, adc, window, quant_scale, gains, subsel_pairs,
                 fast_first, fast_last, slow_first, cfg: XEngineConfig,
                 want_power: bool = True, want_vlbi: bool = True,

@@ -299,9 +299,9 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         ts = ts_default
     if ti is None:
         ti = ti_default
-    if ts is None or ninput % ti:
+    if ts is None or ninput % ti or nspec % ts:
         raise ValueError(f"no viable tiling for nspec={nspec}, "
-                         f"ninput={ninput}")
+                         f"ninput={ninput} (ts={ts}, ti={ti})")
     n_i, n_s = ninput // ti, nspec // ts
 
     xt = x.T  # [ninput, ntime]; one XLA transpose, folded where possible

@@ -337,6 +337,27 @@ class TriggeredDumpCommandBlock(CommandBlock):
             self.dumper.abort()
 
 
+def source_fill_compatible(src_cls: type) -> bool:
+    """Whether the ingest thread may bypass ``stream()`` and have the
+    source assemble gulps directly into staging reservations
+    (``fill_into`` protocol).
+
+    Engages only when the class that defines the active ``stream()``
+    also defines ``fill_into`` — a subclass overriding ``stream()``
+    alone (custom timing/jump-injection test sources) keeps its
+    generator semantics; a source whose ``stream()`` override is
+    fill-equivalent re-declares ``fill_into`` to opt back in
+    (io/native.py AdcCaptureSource)."""
+    def owner(name):
+        for c in src_cls.__mro__:
+            if name in vars(c):
+                return c
+        return None
+
+    fill = owner("fill_into")
+    return fill is not None and fill is owner("stream")
+
+
 class XEnginePipeline:
     """One pipeline instance: threads + fused step + control endpoints."""
 
@@ -546,19 +567,8 @@ class XEnginePipeline:
         protocol); sources without it fall back to stream() + the
         ring's ownership copy."""
         cfg = self.cfg
-
-        def owner(name):
-            for c in type(self.source).__mro__:
-                if name in vars(c):
-                    return c
-            return None
-
-        # fill_into engages only when the source's stream() is the one
-        # defined alongside it: a subclass overriding stream() alone
-        # (custom timing/jump tests) keeps the generator semantics
-        use_fill = (self.staging.backed
-                    and owner("fill_into") is not None
-                    and owner("fill_into") is owner("stream"))
+        use_fill = self.staging.backed and source_fill_compatible(
+            type(self.source))
         if not use_fill:
             for t, gulp in self.source.stream(ngulp):
                 yield t, gulp, False
@@ -692,15 +702,15 @@ class XEnginePipeline:
             self.state, out = xengine.fx_step_jit(
                 self.state, jnp.asarray(adc_ext), self._window,
                 self.feng_cmd.scale_device, gains_dev,
-                self.subsel_cmd.pairs_device, is_first, is_dump,
-                slow_first, cfg, self._want_power, self._want_vlbi,
-                self._want_subsel)
+                self.subsel_cmd.pairs_device, bool(is_first),
+                bool(is_dump), bool(slow_first), cfg, self._want_power,
+                self._want_vlbi, self._want_subsel)
             return out
         packed = jnp.asarray(block)
         self.state, out = xengine.xengine_step_jit(
             self.state, packed, gains_dev, self.subsel_cmd.pairs_device,
-            is_first, is_dump, slow_first, cfg, self._want_power,
-            self._want_vlbi, self._want_subsel)
+            bool(is_first), bool(is_dump), bool(slow_first), cfg,
+            self._want_power, self._want_vlbi, self._want_subsel)
         return out
 
     def _emit(self, out, t, hdr, dec, slow_dec):

@@ -240,3 +240,45 @@ def test_heap_staging_fallback_golden(goldenfiles, monkeypatch):
     assert corr_out.check_count == pipe.ndump_slow
     assert corr_out.check_failures == 0
     assert pipe.selftest_failures == 0
+
+
+def test_source_fill_compatible_guard():
+    """The zero-copy guard engages for the shipped sources — including
+    AdcCaptureSource, whose stream() override is a pure dtype view and
+    which re-declares fill_into to opt back in — and stays off for a
+    test subclass that overrides stream() semantics alone."""
+    from caltech_bifrost_dsp_tpu.io import native
+    from caltech_bifrost_dsp_tpu.runtime.driver import \
+        source_fill_compatible
+
+    assert source_fill_compatible(source.DummySource)
+    assert source_fill_compatible(native.CaptureSource)
+    # regression: the production --fx UDP ingest must take the
+    # zero-copy staging path (it used to fall back to stream())
+    assert source_fill_compatible(native.AdcCaptureSource)
+
+    class JumpSource(source.DummySource):
+        def stream(self, ngulp, seq0=0):  # custom semantics
+            return super().stream(ngulp, seq0)
+
+    assert not source_fill_compatible(JumpSource)
+
+
+def test_fx_step_jit_static_boundary_flags():
+    """fx_step_jit must treat the window-boundary flags as static so
+    the fused accumulator kernel and the mid-window subsel skip engage
+    from the driver (regression: they were traced, so the driver could
+    never reach either fast path).  Observable contract: a static
+    fast_last=False skips the subselection gather entirely."""
+    from caltech_bifrost_dsp_tpu.models import xengine
+
+    from caltech_bifrost_dsp_tpu.ops import pfb as pfb_ops
+
+    cfg = CFG.replace(pfb_ntap=4)
+    state, _, gains, pairs = xengine.default_inputs(cfg)
+    nspec = cfg.ntime_gulp + cfg.pfb_ntap - 1
+    adc = np.zeros((nspec * 2 * cfg.nchan, cfg.ninput), np.float32)
+    window = pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap)
+    state, out = xengine.fx_step_jit(
+        state, adc, window, 1.0, gains, pairs, True, False, True, cfg)
+    assert out.subsel is None

@@ -141,3 +141,21 @@ def test_xla_paths_int8_matches_f32(rng):
     s32 = pfb.pfb_channelize(jnp.asarray(x8, jnp.float32), w, nchan,
                              ntap, fft_impl="matmul")
     np.testing.assert_array_equal(np.asarray(s8), np.asarray(s32))
+
+
+def test_explicit_ts_must_divide_nspec():
+    """An explicitly passed spectra tile that does not divide nspec
+    must be rejected (regression: n_s = nspec // ts truncated and the
+    trailing spectra came back uninitialized)."""
+    import pytest
+
+    from caltech_bifrost_dsp_tpu.ops.pallas import pfb_fused
+
+    nchan, ntap, ninput = 16, 4, 8
+    nspec = 12
+    ntime = (nspec + ntap - 1) * 2 * nchan
+    x = np.zeros((ntime, ninput), np.float32)
+    win = pfb.pfb_window(nchan, ntap)
+    with pytest.raises(ValueError):
+        pfb_fused.pfb_quantize_packed_pallas(x, win, nchan, ntap, 1.0,
+                                             ts=5, interpret=True)
