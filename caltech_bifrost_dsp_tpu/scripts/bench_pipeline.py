@@ -48,6 +48,13 @@ def main(argv=None) -> int:
     p.add_argument("--udp", action="store_true",
                    help="with --stub-device: ingest via the native C++ "
                         "capture engine over loopback (paced blaster)")
+    p.add_argument("--fx", action="store_true",
+                   help="with --udp: FX mode — int8 ADC frames through "
+                        "AdcCaptureSource and the zero-copy staging "
+                        "path; the wire carries 2x the packed-voltage "
+                        "bytes for the same sky time, so vs_baseline "
+                        "is against the 51.8 Gb/s ADC wire budget "
+                        "(docs/performance.md Ingest)")
     p.add_argument("--delay-ns", type=int, default=580_000,
                    help="blaster pacing for --udp (580000 ~ 29 Gb/s)")
     p.add_argument("--port", type=int, default=19791)
@@ -75,6 +82,10 @@ def main(argv=None) -> int:
     from ..runtime.driver import XEnginePipeline
 
     cfg = LWA352.replace(nstand=args.nstand, nchan=args.nchan)
+    if args.fx:
+        if not args.udp:
+            p.error("--fx requires --udp")
+        cfg = cfg.replace(adc_dtype="int8")
 
     tx_threads: list[threading.Thread] = []
     cap = None
@@ -83,14 +94,19 @@ def main(argv=None) -> int:
             p.error("--udp requires --stub-device")
         from ..io import native
 
-        cap = native.CaptureSource(cfg, "127.0.0.1", args.port, nbuf=16)
+        cap = (native.AdcCaptureSource(cfg, "127.0.0.1", args.port,
+                                       nbuf=16)
+               if args.fx else
+               native.CaptureSource(cfg, "127.0.0.1", args.port,
+                                    nbuf=16))
         src = cap
     else:
         src = source.DummySource(cfg, mode="ramp",
                                  skip_write=args.skip_write,
                                  target_throughput_gbps=1000.0)
 
-    pipe = XEnginePipeline(cfg, src, stub_device_ms=args.stub_device)
+    pipe = XEnginePipeline(cfg, src, stub_device_ms=args.stub_device,
+                           fx_mode=args.fx)
 
     est_gulps = max(
         int(args.seconds / (cfg.gulp_nbyte * 8 / 25.9e9)),
@@ -101,7 +117,10 @@ def main(argv=None) -> int:
 
     if args.udp:
         rng = np.random.RandomState(1)
-        data = rng.randint(0, 256, [cfg.ntime_gulp, cfg.nchan,
+        # FX wire: one snap2 "time" = one spectrum frame of 2*nchan
+        # int8 samples per input (io/native.py AdcCaptureSource)
+        nchan_wire = 2 * cfg.nchan if args.fx else cfg.nchan
+        data = rng.randint(0, 256, [cfg.ntime_gulp, nchan_wire,
                                     cfg.ninput]).astype(np.uint8)
 
         def tx():
@@ -124,25 +143,48 @@ def main(argv=None) -> int:
         pipe2.state = pipe.state  # reuse warmed buffers/layouts
         pipe = pipe2
 
+    # FX wire carries 2x the packed bytes for the same sky time, so
+    # its real-time bar is 2x the 25.9 Gb/s packed-voltage bar
+    wire_gulp_nbyte = (2 * cfg.gulp_nbyte if args.fx
+                       else cfg.gulp_nbyte)
+    bar = 2 * 25.9 if args.fx else 25.9
+
     t0 = time.perf_counter()
     for t in tx_threads:
         t.start()
-    pipe.run(est_gulps, timeout_s=1800)
+    # a UDP run where the capture drops a whole gulp can never deliver
+    # est_gulps to the driver — bound the wait by the expected duration
+    # (pessimistic 15 Gb/s) and report the partial run honestly instead
+    # of hanging
+    expect_s = est_gulps * wire_gulp_nbyte * 8 / 15e9
+    ngot = est_gulps
+    partial = False
+    try:
+        pipe.run(est_gulps, timeout_s=max(120.0, 3 * expect_s))
+    except TimeoutError:
+        partial = True
+        pipe.shutdown()
+        if cap is not None:
+            st = cap.stats()
+            pkts_per_gulp = max(data.nbytes // (64 * cfg.ninput), 1)
+            ngot = min(est_gulps, st["npkt"] // pkts_per_gulp)
     elapsed = time.perf_counter() - t0
     for t in tx_threads:
         t.join()
 
-    nbit = est_gulps * cfg.gulp_nbyte * 8
+    nbit = ngot * wire_gulp_nbyte * 8
     gbps = nbit / elapsed / 1e9
     perf = pipe.perf_compute
     result = {
-        "metric": ("pipeline_host_rate_stub_device"
+        "metric": ("pipeline_fx_host_rate_stub_device" if args.fx
+                   else "pipeline_host_rate_stub_device"
                    if args.stub_device is not None
                    else "pipeline_end_to_end_rate"),
         "value": round(gbps, 3),
         "unit": "Gb/s",
-        "vs_baseline": round(gbps / 25.9, 3),
-        "gulps": est_gulps,
+        "vs_baseline": round(gbps / bar, 3),
+        "gulps": ngot,
+        "partial": partial,
         "compute_thread": {
             "acquire_s": round(perf.acquire_time, 3),
             "reserve_s": round(perf.reserve_time, 3),
