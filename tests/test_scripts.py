@@ -64,3 +64,20 @@ def test_monitor_once(capsys):
     rc = monitor.main(["--once"])
     assert rc == 0
     assert "no monitor keys" in capsys.readouterr().out or True
+
+
+def test_bench_pipeline_fx_udp_smoke(capsys):
+    """The FX-over-UDP host bench (AdcCaptureSource + zero-copy staging
+    + stub device) completes loss-free at a tiny shape and reports the
+    ADC-wire accounting (2x packed bytes, 51.8 Gb/s bar)."""
+    from caltech_bifrost_dsp_tpu.scripts import bench_pipeline
+
+    rc = bench_pipeline.main([
+        "--seconds", "0.01", "--stub-device", "1.0", "--udp", "--fx",
+        "--nstand", "16", "--nchan", "32", "--port", "19417"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "pipeline_fx_host_rate_stub_device"
+    assert out["partial"] is False
+    assert out["capture"]["nmissing"] == 0
+    assert out["gulps"] >= 20
