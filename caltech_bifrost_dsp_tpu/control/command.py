@@ -81,6 +81,7 @@ class CommandBlock:
         self.update_pending = False
         self.command_vals: dict = {}
         self._pending_command_vals: dict = {}
+        self._unapplied_keys: set = set()
         self._command_types: dict = {}
         self._command_conditions: dict = {}
         self._apply_immediately = apply_immediately
@@ -163,7 +164,7 @@ class CommandBlock:
                 except Exception:
                     proc_ok = COMMAND_INVALID
                 self.stats["last_cmd_response"] = proc_ok
-                if self._apply_immediately:
+                if self._apply_immediately and proc_ok == COMMAND_OK:
                     self._update_command_vals_locked()
                 self._send_command_response(seq_id,
                                             proc_ok == COMMAND_OK,
@@ -171,6 +172,16 @@ class CommandBlock:
         self.update_stats({})
 
     def _process_commands(self, command_dict, set_pending_flag=True) -> int:
+        """Validate, then stage, a whole command atomically.
+
+        The reference stages each key as it validates, documenting
+        that a rejected command leaves "an undefined number of pending
+        command keys set" (block_base.py:305-307).  That undefined
+        state means a rejected command can partially take effect at
+        the next apply; since no client can rely on undefined
+        behavior, this implementation validates every key FIRST and
+        stages only fully-accepted commands.  Wire protocol and status
+        codes are unchanged."""
         for key, value in command_dict.items():
             if key not in self.command_vals:
                 return COMMAND_NOT_RECOGNIZED
@@ -180,7 +191,9 @@ class CommandBlock:
             cond = self._command_conditions[key]
             if cond and not cond(value):
                 return COMMAND_INVALID
+        for key, value in command_dict.items():
             self._pending_command_vals[key] = value
+            self._unapplied_keys.add(key)
             self.stats["new_" + key] = value
         if set_pending_flag:
             self.update_pending = True
@@ -205,8 +218,15 @@ class CommandBlock:
         self.update_pending = False
         self.stats["update_pending"] = False
         self.stats["last_cmd_proc_time"] = time.time()
-        if self._on_command_applied is not None:
-            self._on_command_applied(dict(self._pending_command_vals))
+        # the hook sees only the keys newly accepted since the last
+        # apply — passing the whole cumulative pending dict would
+        # re-fire one-shot keys (e.g. TriggeredDump "command":
+        # "trigger") on every later unrelated command
+        delta = {k: self._pending_command_vals[k]
+                 for k in self._unapplied_keys}
+        self._unapplied_keys.clear()
+        if self._on_command_applied is not None and delta:
+            self._on_command_applied(delta)
 
     def update_command_vals(self) -> None:
         with self._control_lock:

@@ -78,7 +78,14 @@ class StoreServer:
                         with hub.lock:
                             hub.watchers.append((req["prefix"],
                                                  self.wfile))
-                        self._reply({"ok": True})
+                            # ack under the hub lock: a concurrent
+                            # put() would otherwise stream an event
+                            # line onto this wfile BEFORE the ack, and
+                            # the client's single readline() ack
+                            # consume would eat the event (watches use
+                            # a dedicated connection, so after this
+                            # ack hub.put is the only writer)
+                            self._reply({"ok": True})
                         # keep the connection open; events stream on it
                     else:
                         self._reply({"err": f"bad op {op!r}"})

@@ -427,7 +427,6 @@ class TriggeredDump:
                 dump_path: str | None = None) -> list[str]:
         path = dump_path or self.dump_path
         files = []
-        start = self.ring.earliest()
         hdr0 = self.ring.header
         # samples per ring frame (frames are gulp-shaped); ADC-mode
         # frames hold f32 or int8 samples (header nbit) of [ninput]
@@ -439,26 +438,45 @@ class TriggeredDump:
             sample_nbyte = (hdr0.get("nchan", 1) * hdr0.get("nstand", 1)
                             * hdr0.get("npol", 1)) or 1
         spf = max(1, self.ring.frame_nbyte // sample_nbyte)
+        # per-frame SEQUENCE step: seqs advance one ntime_gulp per
+        # frame in both modes (ADC seqs stay in output-spectra units,
+        # io/native.py AdcCaptureSource), so in ADC mode the 2*nchan
+        # samples-per-spectrum factor must not leak into seq0
+        seq_pf = (max(1, spf // (2 * hdr0["nchan"]))
+                  if hdr0.get("adc") and hdr0.get("nchan")
+                  else spf)
         frames_per_file = max(1, -(-ntime_per_file // spf))
+        lo = self.ring.earliest()
         for i in range(nfile):
             if self.abort_requested:
                 break
-            lo = start + i * frames_per_file
-            n = frames_per_file
-            if lo + n > self.ring.count:
-                n = self.ring.count - lo
+            # live capture keeps pushing during the dump; if it lapped
+            # the cursor, skip forward to the earliest resident frame
+            # (the reference re-opens at earliest,
+            # triggered_dump_block.py:218) instead of dying on the
+            # residency check
+            while True:
+                lo = max(lo, self.ring.earliest())
+                n = min(frames_per_file, self.ring.count - lo)
+                if n <= 0:
+                    break
+                try:
+                    data = self.ring.snapshot(lo, n)
+                    break
+                except IndexError:
+                    continue  # lapped between earliest() and snapshot
             if n <= 0:
                 break
-            data = self.ring.snapshot(lo, n)
             hdr = dict(hdr0)
             hdr.update({"ntime": n * spf,
-                        "seq0": self.ring.frame0_seq + lo * spf,
+                        "seq0": self.ring.frame0_seq + lo * seq_pf,
                         "dump_index": i})
             fname = os.path.join(
                 path, "%s_%d_%d.tbf" % (self.file_prefix,
                                         hdr.get("seq0", 0), i))
             self._write_file(fname, hdr, data)
             files.append(fname)
+            lo += n
         self.abort_requested = False
         return files
 

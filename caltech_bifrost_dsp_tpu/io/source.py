@@ -301,16 +301,27 @@ class UdpSnap2Source:
         self.ngood_bytes = 0
         self.nmissing = 0
 
+    _MAX_PENDING_GULPS = 4  # stash window for early next-gulp packets
+
     def capture_gulp(self, seq_start: int) -> np.ndarray:
         """Blocking: assemble the gulp covering [seq_start, seq_start+g).
-        Missing packets are left as zeros (counted in ``nmissing``)."""
+        Missing packets are left as zeros (counted in ``nmissing``).
+
+        Packets for LATER gulps drained while completing this one are
+        stashed (up to ``_MAX_PENDING_GULPS`` ahead) and pre-loaded when
+        their gulp is requested — dropping them would turn ordinary
+        interleaving at gulp boundaries into systematic fake loss."""
         cfg = self.cfg
         g = self.ntime_gulp
-        buf = np.zeros((g, cfg.nchan, cfg.ninput), np.uint8)
-        expected = None
-        got = 0
+        buf = self._pending.pop(seq_start, None)
+        got = self._filled.pop(seq_start, 0)
+        if buf is None:
+            buf = np.zeros((g, cfg.nchan, cfg.ninput), np.uint8)
+        expected = getattr(self, "_expected", None)
         deadline = time.monotonic() + self.timeout_s
         while time.monotonic() < deadline:
+            if expected is not None and got >= expected:
+                break
             try:
                 pkt = self.sock.recv(65536)
             except OSError:
@@ -319,17 +330,27 @@ class UdpSnap2Source:
             if expected is None:
                 npkt_per_time = ((cfg.nchan // hdr.nchan)
                                  * (cfg.ninput // hdr.npol))
-                expected = npkt_per_time * g
+                expected = self._expected = npkt_per_time * g
             t = hdr.seq - seq_start
-            if not 0 <= t < g:
-                continue
+            if t < 0:
+                continue  # stale packet from an already-emitted gulp
             c0 = hdr.chan_block_id * hdr.nchan
+            if t >= g:  # early packet for a future gulp: stash it
+                if t >= g * (self._MAX_PENDING_GULPS + 1):
+                    continue
+                base = seq_start + (t // g) * g
+                pend = self._pending.get(base)
+                if pend is None:
+                    pend = self._pending[base] = np.zeros_like(buf)
+                pend[t - (base - seq_start), c0:c0 + hdr.nchan,
+                     hdr.pol0:hdr.pol0 + hdr.npol] = payload
+                self._filled[base] = self._filled.get(base, 0) + 1
+                self.ngood_bytes += payload.nbytes
+                continue
             buf[t, c0:c0 + hdr.nchan,
                 hdr.pol0:hdr.pol0 + hdr.npol] = payload
             self.ngood_bytes += payload.nbytes
             got += 1
-            if got == expected:
-                break
         if expected is not None and got < expected:
             self.nmissing += expected - got
         return buf

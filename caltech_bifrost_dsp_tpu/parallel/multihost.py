@@ -25,12 +25,28 @@ from jax.sharding import Mesh
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Join the multi-host runtime (no-op for single-process).
+    """Join the multi-host runtime.
 
-    On TPU pods with standard env metadata, bare
-    ``jax.distributed.initialize()`` autodetects everything.
-    """
-    if num_processes is None or num_processes <= 1:
+    Explicit ``num_processes=1`` is a no-op.  With ALL arguments left
+    None, delegates to bare ``jax.distributed.initialize()`` — on TPU
+    pods the standard env metadata autodetects coordinator/count/id,
+    and on a plain single-process host that call is itself a no-op-ish
+    single-process init (never an error path that silently skips pod
+    bring-up, which previously left multi-host runs on a fraction of
+    the slice)."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    if (coordinator_address is None and num_processes is None
+            and process_id is None):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # no cluster metadata: single host
+            import warnings
+
+            warnings.warn(
+                "jax.distributed autodetect failed (%s); continuing "
+                "single-process — multi-host runs must pass explicit "
+                "coordinator_address/num_processes/process_id" % (e,))
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

@@ -324,12 +324,16 @@ class TriggeredDumpCommandBlock(CommandBlock):
 
             def _run():
                 self.update_stats({"state": "dumping"})
-                self.last_files = self.dumper.trigger(
-                    self.command_vals["ntime_per_file"],
-                    self.command_vals["nfile"],
-                    self.command_vals["dump_path"])
-                self.update_stats({"state": "idle",
-                                   "last_files": self.last_files})
+                try:
+                    self.last_files = self.dumper.trigger(
+                        self.command_vals["ntime_per_file"],
+                        self.command_vals["nfile"],
+                        self.command_vals["dump_path"])
+                finally:
+                    # never leave the published state stuck at
+                    # "dumping" if the dump dies mid-write
+                    self.update_stats({"state": "idle",
+                                       "last_files": self.last_files})
 
             _th.Thread(target=_run, daemon=True,
                        name="triggered-dump").start()
@@ -544,12 +548,16 @@ class XEnginePipeline:
                     header=self.source.header(seq0=t,
                                               sync_time=self.sync_time))
                 if self.history is not None:
-                    # keep frame-index -> spectra mapping consistent for
-                    # frames already resident: frame `count` maps to t
-                    spf = self.cfg.ntime_gulp * (
-                        2 * self.cfg.nchan if self.fx_mode else 1)
+                    # keep frame-index -> sequence mapping consistent
+                    # for frames already resident: frame `count` maps
+                    # to t.  Sequence numbers advance ntime_gulp per
+                    # gulp in BOTH modes (AdcCaptureSource keeps ADC
+                    # seqs in output-spectra units), so the per-frame
+                    # seq step is ntime_gulp — NOT the per-frame ADC
+                    # sample count
                     self.history.set_header(
-                        seq.header, t - self.history.count * spf)
+                        seq.header,
+                        t - self.history.count * self.cfg.ntime_gulp)
             if owned:
                 self.staging.commit_span(seq, gulp)
             else:

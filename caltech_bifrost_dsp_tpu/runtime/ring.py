@@ -115,6 +115,12 @@ class Ring:
                    ) -> bool:
         """Append a span; blocks while over budget (backpressure)."""
         nbyte = data.nbytes
+        if nbyte > self.nbyte_budget:
+            # fail fast: the backpressure predicate could never become
+            # true and a blocking caller would hang forever
+            raise ValueError(
+                f"span of {nbyte} B exceeds ring {self.name} budget "
+                f"{self.nbyte_budget} B")
         with self._lock:
             if blocking:
                 ok = self._lock.wait_for(
@@ -195,7 +201,14 @@ class Ring:
     def release_span(self, data: np.ndarray) -> None:
         """Reader hands a backed span's memory back to the writer.  Out-
         of-order releases (skipped gulps, partial windows) are held until
-        the FIFO head frees.  No-op for heap spans."""
+        the FIFO head frees.  No-op for heap spans.
+
+        Contract: release each span EXACTLY once.  The freed-check below
+        only catches a double release while the allocation is still
+        resident; once the FIFO head advances and the writer re-reserves
+        the same byte offset, a stale second release would free the NEW
+        allocation out from under its owner (spans are identified by
+        byte offset — a view cannot carry an allocation generation)."""
         off = self._span_off(data)
         if off is None:
             return

@@ -229,3 +229,46 @@ def test_render_text_skips_subkeys(store):
     assert any(k.endswith("/baselines") for k in keys)  # sub-key exists
     out = render_text(store)
     assert "Corr" in out
+
+
+def test_rejected_command_stages_nothing(store):
+    """A command rejected on any key must not take effect at all — the
+    reference documents its own partial staging as undefined
+    (block_base.py:305-307); this implementation validates the whole
+    command before staging."""
+    blk = make_block(store)
+    blk.process_command_strings(json.dumps(
+        {"cmd": "update", "id": "1",
+         "val": {"kwargs": {"acc_len": 4800, "nope": 1}}}))
+    assert blk.stats["last_cmd_response"] == COMMAND_NOT_RECOGNIZED
+    # a later accepted command must not drag the rejected acc_len along
+    blk.process_command_strings(json.dumps(
+        {"cmd": "update", "id": "2",
+         "val": {"kwargs": {"start_time": 960}}}))
+    blk.update_command_vals()
+    assert blk.command_vals["acc_len"] == 2400
+    assert blk.command_vals["start_time"] == 960
+
+
+def test_immediate_mode_callback_sees_only_new_keys(store):
+    """The apply hook receives the delta of the accepted command, not
+    the cumulative pending dict — one-shot keys (TriggeredDump
+    "command": "trigger") must not re-fire on later unrelated
+    commands, and a rejected command must not fire the hook."""
+    blk = CommandBlock("Dump", store=store, host="testhost",
+                       apply_immediately=True)
+    blk.define_command_key("command", type=str, initial_val="",
+                           condition=lambda x: x in ("", "trigger"))
+    blk.define_command_key("nfile", type=int, initial_val=1)
+    seen = []
+    blk._on_command_applied = seen.append
+    blk.process_command_strings(json.dumps(
+        {"cmd": "update", "id": "1",
+         "val": {"kwargs": {"command": "trigger"}}}))
+    blk.process_command_strings(json.dumps(
+        {"cmd": "update", "id": "2", "val": {"kwargs": {"nfile": 3}}}))
+    blk.process_command_strings(json.dumps(  # rejected: wrong type
+        {"cmd": "update", "id": "3", "val": {"kwargs": {"nfile": "x"}}}))
+    assert seen == [{"command": "trigger"}, {"nfile": 3}]
+    assert blk.command_vals["command"] == "trigger"
+    assert blk.command_vals["nfile"] == 3

@@ -180,3 +180,56 @@ def test_triggered_dump_direct_io(tmp_path, rng):
     f1 = d_buf.trigger(ntime_per_file=32 * 128, nfile=1)[0]
     f2 = d_dir.trigger(ntime_per_file=32 * 128, nfile=1)[0]
     assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_triggered_dump_adc_seq0_in_spectra_units(tmp_path):
+    """ADC-mode dump headers must carry seq0 in output-spectra units
+    (the stream's sequence convention, io/native.py AdcCaptureSource),
+    not per-frame sample counts — regression: the 2*nchan
+    samples-per-spectrum factor leaked into seq0 once the ring held
+    more than one frame."""
+    nchan, ninput, ntime_gulp = 4, 8, 6
+    rows_per_frame = ntime_gulp * 2 * nchan      # int8 sample rows
+    frame_nbyte = rows_per_frame * ninput
+    ring = HistoryRing(nbyte=4 * frame_nbyte, frame_nbyte=frame_nbyte)
+    hdr = {"adc": True, "nbit": 8, "nchan": nchan, "nstand": 4,
+           "npol": 2, "ntime_gulp": ntime_gulp}
+    ring.set_header(hdr, frame0_seq=0)
+    rng = np.random.RandomState(5)
+    for _ in range(10):                          # wraps: earliest = 6
+        ring.push(rng.randint(0, 256, frame_nbyte).astype(np.uint8))
+    dumper = sink.TriggeredDump(ring, dump_path=str(tmp_path))
+    files = dumper.trigger(ntime_per_file=rows_per_frame, nfile=1)
+    h, data = source.TriggerFileSource(files[0]).read()
+    assert h["seq0"] == 6 * ntime_gulp           # spectra, not samples
+    assert h["ntime"] == rows_per_frame          # data rows per file
+
+
+def test_triggered_dump_survives_capture_lapping(tmp_path):
+    """If live capture laps the dump cursor mid-dump, the dump must
+    skip forward to the earliest resident frame (reference re-opens at
+    earliest, triggered_dump_block.py:218) instead of dying on the
+    residency check and leaving state stuck at 'dumping'."""
+    frame_nbyte = 64
+    ring = HistoryRing(nbyte=4 * frame_nbyte, frame_nbyte=frame_nbyte)
+    ring.set_header({"nchan": 1, "nstand": 8, "npol": 1}, frame0_seq=0)
+    rng = np.random.RandomState(6)
+    for _ in range(6):
+        ring.push(rng.randint(0, 256, frame_nbyte).astype(np.uint8))
+    orig_snapshot = ring.snapshot
+    state = {"lapped": False}
+
+    def lapping_snapshot(lo, n):
+        if not state["lapped"]:
+            state["lapped"] = True
+            for _ in range(5):                   # capture laps the cursor
+                ring.push(rng.randint(0, 256, frame_nbyte)
+                          .astype(np.uint8))
+            raise IndexError("requested frames not resident")
+        return orig_snapshot(lo, n)
+
+    ring.snapshot = lapping_snapshot
+    dumper = sink.TriggeredDump(ring, dump_path=str(tmp_path))
+    files = dumper.trigger(ntime_per_file=frame_nbyte // 8, nfile=2)
+    assert state["lapped"]
+    assert len(files) >= 1                       # completed, not died

@@ -178,3 +178,14 @@ def test_backed_heap_spans_coexist():
     r.release_span(got[0])  # heap: no-op
     r.release_span(got[1])
     assert r.contiguous_view(got) is None  # mixed -> not contiguous
+
+
+def test_write_span_larger_than_budget_fails_fast():
+    """A blocking write of a span that can never fit must raise, not
+    deadlock on a backpressure predicate that can never become true."""
+    import pytest
+
+    r = Ring("t", nbyte_budget=1024)
+    seq = r.begin_sequence(time_tag=0, header={})
+    with pytest.raises(ValueError):
+        r.write_span(seq, np.zeros(4096, np.uint8))

@@ -60,3 +60,36 @@ def test_python_capture_counts_missing(rng):
     np.testing.assert_array_equal(got[mask], gulp[mask])
     rx.close()
     tx.close()
+
+
+def test_boundary_interleaved_packets_are_stashed(rng):
+    """Next-gulp packets drained while completing the current gulp must
+    be stashed and pre-loaded, not dropped as fake loss (regression:
+    they were discarded and re-counted as missing every boundary)."""
+    port = 19843
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4 << 20)
+    rx.bind(("127.0.0.1", port))
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    src = UdpSnap2Source(CFG, rx, timeout_s=3.0)
+    g = CFG.ntime_gulp
+    gulps = [rng.randint(0, 256, [g, CFG.nchan, CFG.ninput])
+             .astype(np.uint8) for _ in range(2)]
+    pkts0 = list(pk.snap2_packets_for_gulp(
+        gulps[0], seq0=0, chan0=0, nchan_tot=CFG.nchan,
+        npol_tot=CFG.ninput, npol_per_pkt=8, nchan_per_pkt=8))
+    pkts1 = list(pk.snap2_packets_for_gulp(
+        gulps[1], seq0=g, chan0=0, nchan_tot=CFG.nchan,
+        npol_tot=CFG.ninput, npol_per_pkt=8, nchan_per_pkt=8))
+    # interleave: half of gulp 1 lands before gulp 0 completes
+    order = pkts0[: len(pkts0) // 2] + pkts1[: len(pkts1) // 2] \
+        + pkts0[len(pkts0) // 2:] + pkts1[len(pkts1) // 2:]
+    for raw in order:
+        tx.sendto(raw, ("127.0.0.1", port))
+    got0 = src.capture_gulp(seq_start=0)
+    got1 = src.capture_gulp(seq_start=g)
+    np.testing.assert_array_equal(got0, gulps[0])
+    np.testing.assert_array_equal(got1, gulps[1])
+    assert src.nmissing == 0
+    rx.close()
+    tx.close()
