@@ -7,17 +7,30 @@ costs ~3 ms standalone / ~2 ms in-step at the production shape against a
 elements per 2.4 MB channel plane reads far more than it keeps.
 
 This kernel expresses the 2-D element gather ``out[v] = M[lo[v], hi[v]]``
-as two LANE gathers (the only vectorized-gather direction Mosaic
-supports, ``tpu.DynamicGatherOp`` on the minor axis) with a transpose in
-between, per (channel, baseline-chunk) grid instance:
+as lane gathers (the only vectorized-gather direction Mosaic supports,
+``tpu.DynamicGatherOp`` on the minor axis) plus masked reductions, per
+(channel-group, baseline-chunk) grid instance.  Two hardware constraints
+shape it:
 
-    G[r, j] = M[r, hi[j]]      lane gather, idx broadcast over rows
-    out[j]  = G.T[j, lo[j]]    transpose + lane gather, one per row
+- Mosaic's dynamic gather is **tile-local**: indices address lanes
+  within one 128-lane tile only ("Input offsets outside of the first
+  tile").  So each 128-output segment gathers once per 128-column tile
+  of the plane with ``hi % 128`` and combines the per-tile results with
+  a ``hi // 128 == t`` select.
+- The index operand must be shaped like the gather operand, so the
+  column indices are broadcast over all NI rows; the row pick is then a
+  masked sublane reduction ``out[j] = sum_r (r == lo[j]) * G[r, j]``
+  rather than a transpose + second gather.
 
 The channel plane block is VMEM-resident and its block index is constant
 across the inner chunk axis, so Mosaic fetches each plane from HBM once
 — the kernel's HBM traffic is one cube read (the gather itself never
-touches HBM), where XLA's take was measured at ~2.7x that.
+touches HBM), where XLA's take was measured at ~2.7x that.  The
+trade-off is VPU work: every 128-output segment touches all NI rows and
+all NI/128 tiles, so per gathered element the kernel moves ~NI vector
+lanes.  Whether that beats XLA's extra HBM reads is measured, not
+assumed — see docs/performance.md (Knobs) for the recorded A/B at the
+production shape.
 
 Everything around the gather (upper-triangle index fold, conjugation
 sign, channel-group summation) stays in XLA — elementwise on the small
@@ -35,19 +48,34 @@ import jax.numpy as jnp
 from ..correlate import Vis
 
 _VCH = 512  # baselines per grid instance (4 lane-vregs)
+_LANE = 128
 
 
 def _kernel(vr_ref, vi_ref, lo_ref, hi_ref, or_ref, oi_ref):
     lo = lo_ref[0]                              # [VCH]
     hi = hi_ref[0]
-    ni = vr_ref.shape[1]
-    hib = jnp.broadcast_to(hi[None, :], (ni, _VCH))
-    lob = lo[:, None]
-    for m_ref, o_ref in ((vr_ref, or_ref), (vi_ref, oi_ref)):
-        m = m_ref[0]                            # [NI, NI]
-        g = jnp.take_along_axis(m, hib, axis=1)  # [NI, VCH]
-        gt = g.T                                 # [VCH, NI]
-        o_ref[0] = jnp.take_along_axis(gt, lob, axis=1)[:, 0]
+    cch, ni = vr_ref.shape[0], vr_ref.shape[1]
+    nt = vr_ref.shape[2] // _LANE               # minor axis padded to 128s
+    # all cch channel planes gather in one op on the sublane-merged
+    # [cch*ni, LANE] view — 8x fewer/larger VPU ops than a per-plane loop
+    riota = jax.lax.broadcasted_iota(
+        jnp.int32, (cch, ni, _LANE), 1)
+    for s in range(_VCH // _LANE):              # 128-output segments
+        hs = hi[s * _LANE:(s + 1) * _LANE]
+        ls = lo[s * _LANE:(s + 1) * _LANE]
+        tj = (hs // _LANE)[None, :]             # column tile of each output
+        ljb = jnp.broadcast_to((hs % _LANE)[None, :], (cch * ni, _LANE))
+        rmask = riota == ls[None, None, :]      # row-pick mask
+        for m_ref, o_ref in ((vr_ref, or_ref), (vi_ref, oi_ref)):
+            g = jnp.zeros((cch * ni, _LANE), jnp.int32)
+            for t in range(nt):                 # tile-local lane gathers
+                mt = m_ref[:, :, t * _LANE:(t + 1) * _LANE].reshape(
+                    cch * ni, _LANE)
+                gt = jnp.take_along_axis(mt, ljb, axis=1)
+                g = jnp.where(tj == t, gt, g)
+            o_ref[:, s * _LANE:(s + 1) * _LANE] = jnp.where(
+                rmask, g.reshape(cch, ni, _LANE), 0).sum(
+                    axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("nchan_sum", "interpret"))
@@ -81,23 +109,32 @@ def corr_subsel_pallas(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
     hi_p = jnp.pad(hi, (0, pad))[None, :]
 
     nk = nvp // _VCH
-    grid = (nchan, nk)
+    # 8 channel planes per grid instance so the (cch, VCH) output block
+    # satisfies Mosaic's sublane tiling (second-to-last dim % 8 == 0, or
+    # the full axis for small nchan); the plane-block index is constant
+    # across the inner chunk axis, so the cube is still read once.  The
+    # minor axis is padded up to a 128-lane multiple at the BlockSpec
+    # (Pallas allows blocks overrunning the array; the pad lanes hold
+    # unspecified bytes and are never selected because hi < ni)
+    cch = 8 if nchan % 8 == 0 else nchan
+    nip = -(-ni // _LANE) * _LANE
+    grid = (nchan // cch, nk)
     sel_r, sel_i = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ni, ni), lambda c, k: (c, 0, 0)),
-            pl.BlockSpec((1, ni, ni), lambda c, k: (c, 0, 0)),
+            pl.BlockSpec((cch, ni, nip), lambda c, k: (c, 0, 0)),
+            pl.BlockSpec((cch, ni, nip), lambda c, k: (c, 0, 0)),
             pl.BlockSpec((1, _VCH), lambda c, k: (0, k)),
             pl.BlockSpec((1, _VCH), lambda c, k: (0, k)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _VCH), lambda c, k: (c, k)),
-            pl.BlockSpec((1, _VCH), lambda c, k: (c, k)),
+            pl.BlockSpec((cch, _VCH), lambda c, k: (c, k)),
+            pl.BlockSpec((cch, _VCH), lambda c, k: (c, k)),
         ],
         out_shape=[jax.ShapeDtypeStruct((nchan, nvp), jnp.int32)] * 2,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vis.real, vis.imag, lo_p, hi_p)
     sel_r = sel_r[:, :nvis]
