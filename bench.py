@@ -57,8 +57,16 @@ def main():
 
     gains = stacked_gains(gains, xengine.bf_operand_ni(cfg))
     rng = np.random.RandomState(1)
-    block = jnp.asarray(rng.randint(
-        0, 255, [cfg.acc_len, cfg.nchan, cfg.ninput]).astype(np.uint8))
+    # chan-major 256-padded staging ("cti"): the layout the capture
+    # engine lands gulps in for the TPU path — both Pallas engines read
+    # it directly, skipping the ~2.3 ms/window pad+transpose prologue
+    # the wire order costs (pad lanes are DON'T-CARE bytes)
+    ni_pad = xengine.bf_operand_ni(cfg)
+    block_np = np.zeros((cfg.nchan, cfg.acc_len, ni_pad), np.uint8)
+    block_np[:, :, :cfg.ninput] = rng.randint(
+        0, 255, [cfg.acc_len, cfg.nchan, cfg.ninput]).astype(
+            np.uint8).transpose(1, 0, 2)
+    block = jnp.asarray(block_np)
 
     # NB: no donate_argnums — donated outputs cannot be fed to another
     # program on the axon tunnel backend (INVALID_ARGUMENT).
@@ -67,7 +75,8 @@ def main():
         # one full fast accumulation + dump products per call; static
         # boundary flags let XLA fold the accumulator selects
         return xengine.xengine_step(state, packed, gains, pairs,
-                                    True, True, False, cfg)
+                                    True, True, False, cfg,
+                                    layout="cti")
 
     probe = jax.jit(
         lambda st: jnp.sum(st.vis_slow.real[0, 0, :8])

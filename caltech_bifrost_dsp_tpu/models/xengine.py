@@ -96,7 +96,7 @@ def _subsel(fast: Vis, subsel_pairs: jax.Array, cfg: XEngineConfig,
 
 
 def _beam_products(packed, gains, cfg: XEngineConfig, want_power: bool,
-                   want_vlbi: bool, interpret: bool):
+                   want_vlbi: bool, interpret: bool, layout: str = "tci"):
     """Beamformer product dispatch (XLA path or the fused Pallas
     kernel that never materializes the beam voltages in HBM).
 
@@ -117,9 +117,14 @@ def _beam_products(packed, gains, cfg: XEngineConfig, want_power: bool,
             gstack = gains
         return beamform_products_pallas(packed, gstack, cfg.ntime_sum,
                                         want_power, want_vlbi,
+                                        layout=layout,
                                         interpret=interpret)
     if not isinstance(gains, bf.BeamGains):
         raise TypeError("prestacked gains require bf_engine='pallas'")
+    if layout == "cti":
+        # the XLA beamform path wants the wire order; only the Pallas
+        # engine consumes the chan-major staging natively
+        packed = jnp.transpose(packed, (1, 0, 2))[:, :, :cfg.ninput]
     beams = bf.beamform_gulp(packed, gains)
     power = bf.beam_power_sum(beams, cfg.ntime_sum) if want_power else None
     vlbi = (bf.vlbi_voltage_select(beams, nbeam_out=2)
@@ -137,13 +142,19 @@ def xengine_step(state: XEngineState,
                  cfg: XEngineConfig,
                  want_power: bool = True,
                  want_vlbi: bool = True,
-                 want_subsel: bool = True
+                 want_subsel: bool = True,
+                 layout: str = "tci"
                  ) -> tuple[XEngineState, XEngineOutputs]:
     """Process one gulp.
 
     Args:
       state: device-resident accumulators.
-      packed: uint8 [ntime_gulp, nchan, ninput].
+      packed: uint8 [ntime_gulp, nchan, ninput] (``layout="tci"``, the
+        reference's capture-ring order, capture_block.py:262-292) or
+        [nchan, ntime_gulp, ninput|padded] (``layout="cti"``, the
+        TPU-native staging order: both Pallas engines read it directly,
+        skipping a ~2.3 ms pad+transpose prologue per window at the
+        production shape — see ops/pallas/corr_blk._to_chan_major).
       gains: beam gains planes [nchan, nbeam, ninput].
       subsel_pairs: int32 [nvis_out, 2] baseline-selection input pairs.
       fast_first: bool scalar — this gulp begins a fast accumulation
@@ -169,6 +180,8 @@ def xengine_step(state: XEngineState,
         subsel on dump gulps).
     """
     interpret = jax.default_backend() == "cpu"
+    if layout not in ("tci", "cti"):
+        raise ValueError(f"unknown layout {layout!r}")
     if (cfg.corr_engine == "pallas_blk"
             and isinstance(fast_first, bool)
             and isinstance(fast_last, bool)
@@ -182,11 +195,11 @@ def xengine_step(state: XEngineState,
         fast, slow = packed_corr_blk_acc(
             packed, None if fast_first else state.vis_fast,
             state.vis_slow, fast_first, fast_last, slow_first,
-            interpret=interpret)
+            layout=layout, interpret=interpret)
         subsel = _subsel(fast, subsel_pairs, cfg, interpret, fast_last,
                          want_subsel)
         power, vlbi = _beam_products(packed, gains, cfg, want_power,
-                                     want_vlbi, interpret)
+                                     want_vlbi, interpret, layout)
         return (XEngineState(fast, slow),
                 XEngineOutputs(subsel, power, vlbi))
     if cfg.corr_engine == "pallas_blk":
@@ -195,12 +208,18 @@ def xengine_step(state: XEngineState,
         # traced boundary flags: plain kernel + XLA selects on the
         # padded accumulators
         vis_gulp = packed_corr_blk(packed, interpret=interpret,
-                                   slice_out=False)
+                                   slice_out=False, layout=layout)
     elif cfg.corr_engine == "pallas_triu":
         from ..ops.pallas.corr_triu import packed_corr_triu
 
+        if layout == "cti":
+            packed = jnp.transpose(packed, (1, 0, 2))[:, :, :cfg.ninput]
+            layout = "tci"
         vis_gulp = packed_corr_triu(packed, interpret=interpret)
     else:
+        if layout == "cti":
+            packed = jnp.transpose(packed, (1, 0, 2))[:, :, :cfg.ninput]
+            layout = "tci"
         vis_gulp = corr.correlate_gulp(packed)
 
     def _sel(flag, a, b):
@@ -219,7 +238,7 @@ def xengine_step(state: XEngineState,
     subsel = _subsel(fast, subsel_pairs, cfg, interpret, fast_last,
                      want_subsel)
     power, vlbi = _beam_products(packed, gains, cfg, want_power,
-                                 want_vlbi, interpret)
+                                 want_vlbi, interpret, layout)
     return (XEngineState(fast, slow),
             XEngineOutputs(subsel, power, vlbi))
 
@@ -227,17 +246,18 @@ def xengine_step(state: XEngineState,
 @functools.partial(jax.jit, static_argnames=("cfg", "fast_first",
                                              "fast_last", "slow_first",
                                              "want_power", "want_vlbi",
-                                             "want_subsel"))
+                                             "want_subsel", "layout"))
 def xengine_step_jit(state, packed, gains, subsel_pairs, fast_first: bool,
                      fast_last: bool, slow_first: bool,
                      cfg: XEngineConfig, want_power: bool = True,
-                     want_vlbi: bool = True, want_subsel: bool = True):
+                     want_vlbi: bool = True, want_subsel: bool = True,
+                     layout: str = "tci"):
     """Boundary flags are *static* here (at most 8 specializations);
     XLA folds the accumulator selects to the taken branch."""
     return xengine_step(state, packed, gains, subsel_pairs,
                         bool(fast_first), bool(fast_last),
                         bool(slow_first), cfg, want_power, want_vlbi,
-                        want_subsel)
+                        want_subsel, layout)
 
 
 def fx_step(state: XEngineState,
@@ -248,7 +268,8 @@ def fx_step(state: XEngineState,
             subsel_pairs: jax.Array,
             fast_first, fast_last, slow_first,
             cfg: XEngineConfig, want_power: bool = True,
-            want_vlbi: bool = True, want_subsel: bool = True
+            want_vlbi: bool = True, want_subsel: bool = True,
+            layout: str = "tci"
             ) -> tuple[XEngineState, XEngineOutputs]:
     """FX variant: raw ADC samples -> PFB -> 4-bit requant -> X/B step.
 
@@ -263,31 +284,36 @@ def fx_step(state: XEngineState,
     """
     if cfg.pfb_fft_impl == "matmul":
         # complex-free path (some AOT backends reject complex HLO);
-        # input-major internals, XLA or fused-Pallas engine
+        # input-major internals, XLA or fused-Pallas engine.  The
+        # corner-turn out of input-major picks whichever staging order
+        # the X/B kernels want, so "cti" costs nothing extra here.
         pk = pfb_ops.channelize_pack_imajor(adc, window, cfg,
                                             quant_scale)
-        packed = jnp.transpose(pk, (1, 2, 0))
+        packed = (jnp.transpose(pk, (2, 1, 0)) if layout == "cti"
+                  else jnp.transpose(pk, (1, 2, 0)))
     else:
         spec = pfb_ops.pfb_channelize(adc, window, cfg.nchan,
                                       cfg.pfb_ntap,
                                       fft_impl=cfg.pfb_fft_impl)
         packed = pfb_ops.quantize_4bit(spec, quant_scale)
+        if layout == "cti":
+            packed = jnp.transpose(packed, (1, 0, 2))
     return xengine_step(state, packed, gains, subsel_pairs, fast_first,
                         fast_last, slow_first, cfg, want_power,
-                        want_vlbi, want_subsel)
+                        want_vlbi, want_subsel, layout)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fast_first",
                                              "fast_last", "slow_first",
                                              "want_power", "want_vlbi",
-                                             "want_subsel"))
+                                             "want_subsel", "layout"))
 def fx_step_jit(state, adc, window, quant_scale, gains, subsel_pairs,
                 fast_first, fast_last, slow_first, cfg: XEngineConfig,
                 want_power: bool = True, want_vlbi: bool = True,
-                want_subsel: bool = True):
+                want_subsel: bool = True, layout: str = "tci"):
     return fx_step(state, adc, window, quant_scale, gains, subsel_pairs,
                    fast_first, fast_last, slow_first, cfg, want_power,
-                   want_vlbi, want_subsel)
+                   want_vlbi, want_subsel, layout)
 
 
 def dense_vis(vis, cfg: XEngineConfig):

@@ -86,13 +86,45 @@ def _dot3(ar, ai, br, bi, ad, bs):
     return p1 + p2, p3 + p1 - p2
 
 
+def _to_chan_major(packed: jax.Array, layout: str) -> jax.Array:
+    """[C, T, padded_ni] chan-major operand from either layout.
+
+    ``layout="tci"`` is the wire/staging order ([time, chan, input],
+    the reference's capture-ring layout, capture_block.py:262-292) and
+    pays an XLA pad+transpose (~2.3 ms at production shape).
+    ``layout="cti"`` is the TPU-native staging order: the caller
+    provides [chan, time, ninput-or-padded] and the kernels read it
+    directly — measured 5.60 ms correlator (98% of the MXU roofline)
+    vs 7.55 ms with the prologue.  When the input arrives already at
+    the 256-padded width the pad lanes are DON'T-CARE bytes (any
+    garbage nibble stays in [-8, 7], so the Karatsuba combination
+    planes cannot overflow int8, and every product involving a pad
+    lane lands in vis rows/cols >= ninput, which dense_vis() slices
+    away; zero-gain rows kill them in the beamformer)."""
+    if layout == "cti":
+        nchan, ntime, ni_in = packed.shape
+        ni = padded_ni(ni_in)
+        if ni != ni_in:
+            packed = jnp.pad(packed, ((0, 0), (0, 0), (0, ni - ni_in)))
+        return packed
+    if layout != "tci":
+        raise ValueError(f"unknown layout {layout!r}")
+    ntime, nchan, ninput = packed.shape
+    ni = padded_ni(ninput)
+    if ni != ninput:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, ni - ninput)))
+    return jnp.transpose(packed, (1, 0, 2))
+
+
 @functools.partial(jax.jit, static_argnames=("fast_first", "fast_last",
-                                             "slow_first", "interpret"))
+                                             "slow_first", "layout",
+                                             "interpret"))
 def packed_corr_blk_acc(packed: jax.Array,
                         fast_in: Vis | None,
                         slow_in: Vis | None,
                         fast_first: bool, fast_last: bool,
                         slow_first: bool,
+                        layout: str = "tci",
                         interpret: bool = False) -> tuple[Vis, Vis]:
     """Correlate one gulp AND apply the accumulator algebra in-kernel.
 
@@ -121,16 +153,13 @@ def packed_corr_blk_acc(packed: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ntime, nchan, ninput = packed.shape
-    ni = padded_ni(ninput)
-    if ni != ninput:
-        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, ni - ninput)))
+    packed_cm = _to_chan_major(packed, layout)
+    nchan, ntime, ni = packed_cm.shape
     nblk = ni // BLK
     pairs = _blocks(nblk)
     npair = len(pairs)
     bi = jnp.asarray(pairs[:, 0])
     bj = jnp.asarray(pairs[:, 1])
-    packed_cm = jnp.transpose(packed, (1, 0, 2))
 
     add_fast = not fast_first
     add_slow = fast_last and not slow_first
@@ -215,13 +244,16 @@ def packed_corr_blk_acc(packed: jax.Array,
     return fast, slow
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "slice_out"))
+@functools.partial(jax.jit, static_argnames=("interpret", "slice_out",
+                                             "layout"))
 def packed_corr_blk(packed: jax.Array, interpret: bool = False,
-                    slice_out: bool = True) -> Vis:
+                    slice_out: bool = True, layout: str = "tci") -> Vis:
     """Correlate a packed block, computing only ``j >= i`` 256-blocks.
 
     Args:
-      packed: uint8 [ntime, nchan, ninput].
+      packed: uint8 [ntime, nchan, ninput] (``layout="tci"``) or
+        [nchan, ntime, ninput|padded_ni] (``layout="cti"``, see
+        :func:`_to_chan_major`).
       slice_out: slice the padded result back to ninput (False keeps
         the padded width for callers carrying padded accumulators).
 
@@ -234,17 +266,15 @@ def packed_corr_blk(packed: jax.Array, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ntime, nchan, ninput = packed.shape
-    pad = (-ninput) % BLK
-    if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
-    ni = ninput + pad
+    ninput = packed.shape[2]
+    packed_cm = _to_chan_major(packed, layout)
+    nchan, ntime, ni = packed_cm.shape
+    pad = ni - ninput
     nblk = ni // BLK
     pairs = _blocks(nblk)
     npair = len(pairs)
     bi = jnp.asarray(pairs[:, 0])
     bj = jnp.asarray(pairs[:, 1])
-    packed_cm = jnp.transpose(packed, (1, 0, 2))  # [C, T, I]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

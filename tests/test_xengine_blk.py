@@ -118,3 +118,85 @@ def test_pipeline_golden_with_blk_engine(tmp_path):
     assert corr_out.check_count == 1 and corr_out.check_failures == 0
     assert pipe.selftest_failures == 0 and pipe.selftest_count == 2
     assert sub_pkts
+
+
+def test_cti_layout_step_bit_identical():
+    """The chan-major staging order ("cti") must produce bit-identical
+    products to the wire order ("tci"), including when the input
+    arrives pre-padded to the 256 block width with garbage in the pad
+    lanes (zero-gain rows and the dense_vis slice keep them out of
+    every product)."""
+    from caltech_bifrost_dsp_tpu.models import xengine
+    from caltech_bifrost_dsp_tpu.ops.pallas.beamform_fused import \
+        stacked_gains
+    from caltech_bifrost_dsp_tpu.ops.pallas.corr_blk import padded_ni
+
+    rng = np.random.RandomState(7)
+    cfg = cfgmod.TINY.replace(corr_engine="pallas_blk",
+                              bf_engine="pallas")
+    state, packed, gains, pairs = xengine.default_inputs(cfg, seed=7)
+    gstack = stacked_gains(gains, xengine.bf_operand_ni(cfg))
+
+    st_t, out_t = xengine.xengine_step(
+        state, packed, gstack, pairs, True, True, False, cfg)
+
+    ni_pad = padded_ni(cfg.ninput)
+    pk_cm = np.transpose(np.asarray(packed), (1, 0, 2))
+    pk_cm_garbage = rng.randint(
+        0, 256, [cfg.nchan, cfg.ntime_gulp, ni_pad]).astype(np.uint8)
+    pk_cm_garbage[:, :, :cfg.ninput] = pk_cm
+
+    for cm in (jnp.asarray(pk_cm), jnp.asarray(pk_cm_garbage)):
+        st_c, out_c = xengine.xengine_step(
+            state, cm, gstack, pairs, True, True, False, cfg,
+            layout="cti")
+        for a, b in ((xengine.dense_vis(st_t.vis_fast, cfg),
+                      xengine.dense_vis(st_c.vis_fast, cfg)),
+                     (xengine.dense_vis(st_t.vis_slow, cfg),
+                      xengine.dense_vis(st_c.vis_slow, cfg)),
+                     (out_t.subsel, out_c.subsel)):
+            np.testing.assert_array_equal(np.asarray(a.real),
+                                          np.asarray(b.real))
+            np.testing.assert_array_equal(np.asarray(a.imag),
+                                          np.asarray(b.imag))
+        np.testing.assert_array_equal(np.asarray(out_t.bf_power),
+                                      np.asarray(out_c.bf_power))
+        np.testing.assert_array_equal(np.asarray(out_t.vlbi),
+                                      np.asarray(out_c.vlbi))
+
+
+def test_cti_layout_fx_step_bit_identical():
+    """FX variant: raw ADC in, cti staging out of the PFB corner-turn
+    must match the tci products bit-exactly."""
+    from caltech_bifrost_dsp_tpu.models import xengine
+    from caltech_bifrost_dsp_tpu.ops import pfb as pfb_ops
+    from caltech_bifrost_dsp_tpu.ops.pallas.beamform_fused import \
+        stacked_gains
+
+    rng = np.random.RandomState(8)
+    cfg = cfgmod.TINY.replace(corr_engine="pallas_blk",
+                              bf_engine="pallas",
+                              pfb_fft_impl="matmul")
+    state, _, gains, pairs = xengine.default_inputs(cfg, seed=8)
+    gstack = stacked_gains(gains, xengine.bf_operand_ni(cfg))
+    window = jnp.asarray(pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
+    nadc = (cfg.ntime_gulp + cfg.pfb_ntap - 1) * 2 * cfg.nchan
+    adc = jnp.asarray((rng.standard_normal([nadc, cfg.ninput]) * 3)
+                      .astype(np.float32))
+    scale = jnp.float32(0.5)
+
+    st_t, out_t = xengine.fx_step(state, adc, window, scale, gstack,
+                                  pairs, True, True, False, cfg)
+    st_c, out_c = xengine.fx_step(state, adc, window, scale, gstack,
+                                  pairs, True, True, False, cfg,
+                                  layout="cti")
+    for a, b in ((st_t.vis_fast, st_c.vis_fast),
+                 (out_t.subsel, out_c.subsel)):
+        np.testing.assert_array_equal(np.asarray(a.real),
+                                      np.asarray(b.real))
+        np.testing.assert_array_equal(np.asarray(a.imag),
+                                      np.asarray(b.imag))
+    np.testing.assert_array_equal(np.asarray(out_t.bf_power),
+                                  np.asarray(out_c.bf_power))
+    np.testing.assert_array_equal(np.asarray(out_t.vlbi),
+                                  np.asarray(out_c.vlbi))
