@@ -60,9 +60,11 @@ class XEngineConfig:
     # voltages never touch HBM — bf16 hi/lo gains, ~2e-4 worst-case
     # vs the XLA path, inside the reference's rtol=1e-4-vs-truth gate).
     bf_engine: str = "xla"
-    # Subselection engine: "xla" (flat take()) or "pallas" (two
-    # lane-gathers + transpose; one HBM cube read vs take's ~2.7x).
-    subsel_engine: str = "xla"
+    # Subselection engine: "bands" (8-row band-compacted slab DMA +
+    # small take, in-graph fallback to flat take for band-dense
+    # selections — the default), "xla" (flat take()), or "pallas"
+    # (lane-gather kernel).  All bit-identical.
+    subsel_engine: str = "bands"
     # PFB spectral transform: "fft" (XLA rfft) or "matmul" (real DFT as
     # two MXU matmuls; needed where the backend's AOT compiler lacks FFT)
     pfb_fft_impl: str = "fft"
@@ -105,7 +107,7 @@ class XEngineConfig:
             raise ValueError(f"unknown corr_engine {self.corr_engine!r}")
         if self.bf_engine not in ("xla", "pallas"):
             raise ValueError(f"unknown bf_engine {self.bf_engine!r}")
-        if self.subsel_engine not in ("xla", "pallas"):
+        if self.subsel_engine not in ("xla", "pallas", "bands"):
             raise ValueError(
                 f"unknown subsel_engine {self.subsel_engine!r}")
         if self.pfb_fft_impl not in ("fft", "matmul"):

@@ -145,3 +145,59 @@ def corr_subsel_pallas(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
             axis=1, dtype=jnp.int32)
 
     return Vis(csum(sel_r), csum(sel_i))
+
+
+def _band_copy_kernel(bands_ref, vr_ref, vi_ref, or_ref, oi_ref):
+    or_ref[:] = vr_ref[:]
+    oi_ref[:] = vi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_extract(vr: jax.Array, vi: jax.Array, bands: jax.Array,
+                 interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Copy the selected 8-row bands of both visibility planes into a
+    compact slab — pure scalar-prefetched block DMA, no compute.
+
+    The baseline-subselection gather is operand-read-bound in XLA
+    (take() reads ~the whole 906 MB cube at the production shape); DMAing
+    only the 8-row bands that contain selected baselines first shrinks
+    the take() operand by the band occupancy (e.g. 12/96 bands for the
+    production all-pairs-among-48-stands selection,
+    reference: blocks/corr_subsel_block.py:185).  8 rows is the finest
+    sublane granularity Mosaic block specs allow.
+
+    Args:
+      vr, vi: int32 [nchan, ni, ni] visibility planes (ni % 8 == 0).
+      bands: int32 [budget] 8-row band indices (entries past the used
+        count may duplicate band 0 — harmless extra DMA).
+
+    Returns:
+      (slab_r, slab_i): int32 [nchan, budget * 8, ni] with
+      ``slab[:, 8*s:8*s+8, :] == v[:, 8*bands[s]:8*bands[s]+8, :]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchan, ni, _ = vr.shape
+    nb = bands.shape[0]
+    cch = 1
+    for cand in (8, 4, 2):
+        if nchan % cand == 0:
+            cch = cand
+            break
+    spec_in = pl.BlockSpec((cch, 8, ni), lambda c, b, bands: (c, bands[b], 0))
+    spec_out = pl.BlockSpec((cch, 8, ni), lambda c, b, bands: (c, b, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchan // cch, nb),
+        in_specs=[spec_in, spec_in],
+        out_specs=[spec_out, spec_out],
+    )
+    return pl.pallas_call(
+        _band_copy_kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((nchan, nb * 8, ni),
+                                        jnp.int32)] * 2,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bands, vr, vi)

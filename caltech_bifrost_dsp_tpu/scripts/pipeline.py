@@ -125,11 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beamformer engine: XLA matmuls + power pass, "
                         "or the fused Pallas kernel (voltages never "
                         "touch HBM)")
-    p.add_argument("--subsel-engine", type=str, default="xla",
-                   choices=["xla", "pallas"],
-                   help="baseline-subselection engine: XLA flat take() "
-                        "or the Pallas lane-gather kernel (one HBM cube "
-                        "read; bit-identical output)")
+    p.add_argument("--subsel-engine", type=str, default="bands",
+                   choices=["bands", "xla", "pallas"],
+                   help="baseline-subselection engine: band-compacted "
+                        "slab DMA + small take (falls back to flat "
+                        "take in-graph for band-dense selections), XLA "
+                        "flat take(), or the Pallas lane-gather kernel "
+                        "(bit-identical output)")
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="FX channelizer engine: XLA matmul path or the "
