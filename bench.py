@@ -36,19 +36,21 @@ BASELINE_GBPS = 25.9  # reference real-time requirement (BASELINE.md)
 
 
 def main():
-    from caltech_bifrost_dsp_tpu.config import LWA352
+    from caltech_bifrost_dsp_tpu.config import LWA352_TPU
     from caltech_bifrost_dsp_tpu.models import xengine
 
-    # 256-block int8 Karatsuba correlator with fused accumulator algebra
-    # + fused beamform/power kernel (ops/pallas/corr_blk.py,
-    # ops/pallas/beamform_fused.py).  CBD_BENCH_SUBSEL overrides the
-    # subselection engine for A/B measurement (default: the committed
-    # production choice).
+    # The committed production engine selection (config.TPU_ENGINES —
+    # ONE source of truth shared with the pipeline CLI's auto
+    # defaults): 256-block int8 Karatsuba correlator with fused
+    # accumulator algebra + fused beamform/power kernel + 2-D
+    # block-compacted subselection (ops/pallas/corr_blk.py,
+    # beamform_fused.py, subsel_gather.py).  CBD_BENCH_SUBSEL
+    # overrides the subselection engine for A/B measurement.
     import os as _os
 
-    cfg = LWA352.replace(corr_engine="pallas_blk", bf_engine="pallas",
-                         subsel_engine=_os.environ.get(
-                             "CBD_BENCH_SUBSEL", "xla"))
+    cfg = LWA352_TPU
+    if _os.environ.get("CBD_BENCH_SUBSEL"):
+        cfg = cfg.replace(subsel_engine=_os.environ["CBD_BENCH_SUBSEL"])
     state, _, gains, pairs = xengine.default_inputs(cfg)
     # prestack the beamformer gain operand once (the driver does the
     # same at gain-load time)

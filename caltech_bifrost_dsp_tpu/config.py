@@ -191,6 +191,31 @@ class XEngineConfig:
 #: The production LWA-352 operating point.
 LWA352 = XEngineConfig()
 
+#: The committed production engine selection on TPU — ONE source of
+#: truth shared by bench.py, the pipeline CLI's ``auto`` engine
+#: defaults, and the dryrun entry, so the benchmark cannot drift from
+#: what the pipeline ships (VERDICT r3 #9).  Recorded A/Bs for each
+#: choice: docs/performance.md.
+TPU_ENGINES = dict(corr_engine="pallas_blk", bf_engine="pallas",
+                   subsel_engine="bands")
+
+#: LWA352 with the TPU production engines applied.
+LWA352_TPU = LWA352.replace(**TPU_ENGINES)
+
+
+def default_engines(backend: str | None = None) -> dict:
+    """Engine selection for ``auto`` CLI defaults: the committed TPU
+    engines on a TPU backend; the XLA reference engines elsewhere
+    (Pallas interpret mode on CPU is for exactness tests, not rate)."""
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    if backend == "cpu":
+        return dict(corr_engine="xla", bf_engine="xla",
+                    subsel_engine="xla")
+    return dict(TPU_ENGINES)
+
 #: Reduced configs used by the test suite and the staged benchmarks
 #: (BASELINE.json "configs").
 TINY = XEngineConfig(nstand=16, nchan=16, ntime_gulp=48, acc_len=240,

@@ -56,6 +56,12 @@ def load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_long, ctypes.c_int]
+    lib.cbd_transmit_stream.restype = ctypes.c_int64
+    lib.cbd_transmit_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, ctypes.c_int]
     lib.cbd_cor_send_matrix.restype = ctypes.c_int64
     lib.cbd_cor_send_matrix.argtypes = [
         ctypes.c_char_p, ctypes.c_int,
@@ -334,6 +340,29 @@ def transmit_gulp(dest_ip: str, port: int, data: np.ndarray, seq0: int,
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ntime,
         nchan, ninput, seq0, nchan_per_pkt, npol_per_pkt, delay_ns,
         miss_every)
+    if sent < 0:
+        raise OSError("native transmit failed")
+    return int(sent)
+
+
+def transmit_stream(dest_ip: str, port: int, data: np.ndarray,
+                    ngulp: int, seq0: int = 0,
+                    nchan_per_pkt: int | None = None,
+                    npol_per_pkt: int = 64, delay_ns: int = 0,
+                    miss_every: int = 0) -> int:
+    """Blast the same gulp ``ngulp`` times with advancing sequence
+    numbers, entirely in native code (one socket, one absolute pacing
+    deadline for the whole stream — the stable-offered-rate blaster
+    the full-rate gates use)."""
+    lib = load()
+    ntime, nchan, ninput = data.shape
+    nchan_per_pkt = nchan_per_pkt or nchan
+    data = np.ascontiguousarray(data, np.uint8)
+    sent = lib.cbd_transmit_stream(
+        dest_ip.encode(), port,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ntime,
+        nchan, ninput, seq0, ngulp, nchan_per_pkt, npol_per_pkt,
+        delay_ns, miss_every)
     if sent < 0:
         raise OSError("native transmit failed")
     return int(sent)

@@ -91,6 +91,12 @@ def _subsel(fast: Vis, subsel_pairs: jax.Array, cfg: XEngineConfig,
     gulps in per-gulp driver mode need not pay the gather."""
     if not want_subsel or fast_last is False:
         return None
+    # clamp malformed runtime 'baselines' selections to the REAL input
+    # count, not the engine's padded accumulator width: under cti
+    # staging the pad rows hold don't-care bytes, so an out-of-range
+    # pair must deterministically read a valid input's visibility
+    # rather than nondeterministic pad garbage
+    subsel_pairs = jnp.clip(subsel_pairs, 0, cfg.ninput - 1)
     return cs.corr_subsel_engine(fast, subsel_pairs, cfg.nchan_sum,
                                  cfg.subsel_engine, interpret)
 
@@ -341,7 +347,11 @@ def default_inputs(cfg: XEngineConfig, seed: int = 0):
     gains = bf.BeamGains(
         jnp.ones((cfg.nchan, cfg.nbeam, cfg.ninput), jnp.float32),
         jnp.zeros((cfg.nchan, cfg.nbeam, cfg.ninput), jnp.float32))
+    # production-shaped selection (all pol pairs among the first 48
+    # stands, reference: corr_subsel_block.py:185) so benches and
+    # compile checks exercise the deployed gather pattern; falls back
+    # to the autos-cycling default for configs too small to hold it
     pairs = jnp.asarray(cs.baselines_to_inputs(
-        cs.default_baselines(cfg.nvis_out, cfg.nstand), cfg.npol
+        cs.production_baselines(cfg.nvis_out, cfg.nstand), cfg.npol
     ).astype(np.int32))
     return init_state(cfg), packed, gains, pairs

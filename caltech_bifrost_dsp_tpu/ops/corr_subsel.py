@@ -109,24 +109,45 @@ def corr_subsel(vis: Vis, input_pairs: jax.Array, nchan_sum: int) -> Vis:
     return Vis(csum(sel_r), csum(sel_i))
 
 
+def _occupancy(band_of: jax.Array, nb_tot: int, budget: int):
+    """In-graph band occupancy -> (slot map, used count, band list).
+
+    ``slot_of_band[b]`` is the compact slab slot of band ``b`` (valid
+    where occupied); ``bands_list`` is the budget-sized slot->band map
+    (unused entries hold 0 — harmless duplicate DMA)."""
+    occ = jnp.zeros(nb_tot, jnp.int32).at[band_of].set(1)
+    pos = jnp.cumsum(occ)
+    slot_of_band = pos - 1                      # valid where occ == 1
+    nused = pos[-1]
+    scatter_idx = jnp.where(occ == 1, slot_of_band, budget)
+    bands_list = jnp.zeros(budget, jnp.int32).at[scatter_idx].set(
+        jnp.arange(nb_tot, dtype=jnp.int32), mode="drop")
+    return slot_of_band, nused, bands_list
+
+
 def corr_subsel_bands(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
-                      budget: int = 32, interpret: bool = False) -> Vis:
-    """Band-compacted gather: DMA only the occupied 8-row bands of the
-    matrix into a compact slab (Pallas, pure block DMA), then take()
-    elements from the much smaller operand.
+                      budget: int = 32, col_budget: int = 2,
+                      interpret: bool = False) -> Vis:
+    """Block-compacted gather: DMA only the occupied (8-row x 128-col)
+    blocks of the matrix into a compact slab (Pallas, pure block DMA),
+    then take() elements from the much smaller operand.
 
     XLA's element gather is operand-read-bound (it costs ~the whole
     906 MB cube at the production shape); the production selection
-    (all pol pairs among 48+1 stands, corr_subsel_block.py:185) touches
-    only 96 of 768 rows = 12 of 96 bands, so the slab shrinks the
-    take() operand 8x (3.6 -> ~1.0 ms measured on v5e).  The band list
-    and slab indices are computed in-graph from ``input_pairs`` (the
-    runtime-reloadable 'baselines' command can change them without a
-    host round trip); when the selection occupies more than ``budget``
-    bands — e.g. the autos-cycling default that touches every stand —
+    (all pol pairs among the first 48 stands — 4704 = 48*49*4/2
+    visibilities, corr_subsel_block.py:185) touches only inputs 0..95,
+    i.e. 12 of 96 row-bands AND 1 of 6 column-tiles, so the 2-D slab
+    shrinks the take() operand ~48x.  When the column tiles exceed
+    ``col_budget`` (or ``ni % 128 != 0`` — e.g. the unpadded 704-input
+    matrix of the XLA correlator engine) the slab compacts rows only
+    (8x at production); when the rows exceed ``budget`` bands — e.g.
+    the autos-cycling default selection that touches every stand —
     a ``lax.cond`` falls back to the flat take() on the full cube.
-    Output is bit-identical to :func:`corr_subsel` either way."""
-    from .pallas.subsel_gather import band_extract
+    Band lists and slab indices are computed in-graph from
+    ``input_pairs`` (the runtime-reloadable 'baselines' command changes
+    them without a host round trip).  Output is bit-identical to
+    :func:`corr_subsel` on every branch."""
+    from .pallas.subsel_gather import band_extract, block_extract
 
     nchan, ni, _ = vis.real.shape
     if nchan % nchan_sum:
@@ -141,33 +162,62 @@ def corr_subsel_bands(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
 
     nb_tot = ni // 8
     band_of = (lo // 8).astype(jnp.int32)
-    occ = jnp.zeros(nb_tot, jnp.int32).at[band_of].set(1)
-    pos = jnp.cumsum(occ)
-    slot_of_band = pos - 1                      # valid where occ == 1
-    nused = pos[-1]
-    scatter_idx = jnp.where(occ == 1, slot_of_band, budget)
-    bands_list = jnp.zeros(budget, jnp.int32).at[scatter_idx].set(
-        jnp.arange(nb_tot, dtype=jnp.int32), mode="drop")
-    idx_slab = (slot_of_band[band_of] * 8 + lo % 8) * ni + hi
+    rslot, nused, bands_list = _occupancy(band_of, nb_tot, budget)
+    idx_rows = (rslot[band_of] * 8 + lo % 8) * ni + hi
     idx_flat = lo * ni + hi
 
-    def bands_branch(vr, vi, bands_list, idx_slab, idx_flat):
-        slab_r, slab_i = band_extract(vr, vi, bands_list,
+    # 2-D refinement: also compact 128-column tiles when the matrix
+    # width allows and the slab would actually be smaller
+    use2d = (ni % 128 == 0
+             and budget * 8 * col_budget * 128 < ni * ni)
+    if use2d:
+        ctile_of = (hi // 128).astype(jnp.int32)
+        cslot, ncused, ctiles_list = _occupancy(ctile_of, ni // 128,
+                                                col_budget)
+        idx_blk = ((rslot[band_of] * 8 + lo % 8) * (col_budget * 128)
+                   + cslot[ctile_of] * 128 + hi % 128)
+    else:
+        ncused = jnp.int32(0)
+        ctiles_list = idx_blk = jnp.zeros((0,), jnp.int32)
+
+    def blocks_branch(vr, vi, args):
+        slab_r, slab_i = block_extract(vr, vi, args["rbands"],
+                                       args["ctiles"],
+                                       interpret=interpret)
+        w = budget * 8 * col_budget * 128
+        sr = jnp.take(slab_r.reshape(nchan, w), args["idx_blk"], axis=1)
+        si = jnp.take(slab_i.reshape(nchan, w), args["idx_blk"], axis=1)
+        return sr, si
+
+    def bands_branch(vr, vi, args):
+        slab_r, slab_i = band_extract(vr, vi, args["rbands"],
                                       interpret=interpret)
-        sr = jnp.take(slab_r.reshape(nchan, budget * 8 * ni), idx_slab,
+        sr = jnp.take(slab_r.reshape(nchan, budget * 8 * ni),
+                      args["idx_rows"], axis=1)
+        si = jnp.take(slab_i.reshape(nchan, budget * 8 * ni),
+                      args["idx_rows"], axis=1)
+        return sr, si
+
+    def take_branch(vr, vi, args):
+        sr = jnp.take(vr.reshape(nchan, ni * ni), args["idx_flat"],
                       axis=1)
-        si = jnp.take(slab_i.reshape(nchan, budget * 8 * ni), idx_slab,
+        si = jnp.take(vi.reshape(nchan, ni * ni), args["idx_flat"],
                       axis=1)
         return sr, si
 
-    def take_branch(vr, vi, bands_list, idx_slab, idx_flat):
-        sr = jnp.take(vr.reshape(nchan, ni * ni), idx_flat, axis=1)
-        si = jnp.take(vi.reshape(nchan, ni * ni), idx_flat, axis=1)
-        return sr, si
+    def rows_or_flat(vr, vi, args):
+        return jax.lax.cond(nused <= budget, bands_branch, take_branch,
+                            vr, vi, args)
 
-    sel_r, sel_i = jax.lax.cond(nused <= budget, bands_branch,
-                                take_branch, vis.real, vis.imag,
-                                bands_list, idx_slab, idx_flat)
+    args = {"rbands": bands_list, "ctiles": ctiles_list,
+            "idx_blk": idx_blk, "idx_rows": idx_rows,
+            "idx_flat": idx_flat}
+    if use2d:
+        fits2d = jnp.logical_and(nused <= budget, ncused <= col_budget)
+        sel_r, sel_i = jax.lax.cond(fits2d, blocks_branch, rows_or_flat,
+                                    vis.real, vis.imag, args)
+    else:
+        sel_r, sel_i = rows_or_flat(vis.real, vis.imag, args)
     sel_i = sel_i * sign
 
     def csum(x):

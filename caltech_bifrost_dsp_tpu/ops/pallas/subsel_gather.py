@@ -152,6 +152,71 @@ def _band_copy_kernel(bands_ref, vr_ref, vi_ref, or_ref, oi_ref):
     oi_ref[:] = vi_ref[:]
 
 
+def _block_copy_kernel(rbands_ref, cbands_ref, vr_ref, vi_ref,
+                       or_ref, oi_ref):
+    or_ref[:] = vr_ref[:]
+    oi_ref[:] = vi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_extract(vr: jax.Array, vi: jax.Array, rbands: jax.Array,
+                  cbands: jax.Array, interpret: bool = False
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Copy the selected (8-row x 128-col) blocks of both visibility
+    planes into a compact 2-D slab — pure scalar-prefetched block DMA.
+
+    Two-dimensional refinement of :func:`band_extract`: the production
+    baseline selection (all pol pairs among the first 48 stands,
+    reference: blocks/corr_subsel_block.py:185) occupies inputs 0..95,
+    i.e. 12 of 96 row-bands AND 1 of 6 column-tiles of the 768-padded
+    matrix — compacting both axes shrinks the take() operand ~48x
+    (226 MB -> ~19 MB at the production shape), which puts the gather
+    at its minimum-traffic roofline instead of the cube-read floor.
+
+    Args:
+      vr, vi: int32 [nchan, ni, ni] visibility planes
+        (ni % 8 == 0 and ni % 128 == 0).
+      rbands: int32 [row_budget] 8-row band indices.
+      cbands: int32 [col_budget] 128-column tile indices (entries past
+        the used count may duplicate 0 — harmless extra DMA).
+
+    Returns:
+      (slab_r, slab_i): int32 [nchan, row_budget * 8, col_budget * 128]
+      with ``slab[:, 8*r:8*r+8, 128*c:128*c+128]
+      == v[:, 8*rbands[r]:..., 128*cbands[c]:...]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchan, ni, _ = vr.shape
+    nrb = rbands.shape[0]
+    ncb = cbands.shape[0]
+    cch = 1
+    for cand in (8, 4, 2):
+        if nchan % cand == 0:
+            cch = cand
+            break
+    spec_in = pl.BlockSpec(
+        (cch, 8, _LANE),
+        lambda c, r, k, rbands, cbands: (c, rbands[r], cbands[k]))
+    spec_out = pl.BlockSpec(
+        (cch, 8, _LANE), lambda c, r, k, rbands, cbands: (c, r, k))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchan // cch, nrb, ncb),
+        in_specs=[spec_in, spec_in],
+        out_specs=[spec_out, spec_out],
+    )
+    return pl.pallas_call(
+        _block_copy_kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((nchan, nrb * 8, ncb * _LANE),
+                                        jnp.int32)] * 2,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rbands, cbands, vr, vi)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def band_extract(vr: jax.Array, vi: jax.Array, bands: jax.Array,
                  interpret: bool = False) -> tuple[jax.Array, jax.Array]:

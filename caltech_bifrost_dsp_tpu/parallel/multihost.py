@@ -54,20 +54,42 @@ def initialize(coordinator_address: str | None = None,
 
 
 def global_mesh(n_time: int | None = None,
-                n_chan: int | None = None) -> Mesh:
+                n_chan: int | None = None,
+                placement: str = "chan") -> Mesh:
     """('time', 'chan') mesh over every device in the (multi-host) slice.
 
-    Defaults: the 'time' axis spans hosts (sequence parallelism with DCN
-    halo exchange once per accumulation is cheap), the 'chan' axis spans
-    the chips within a host (the all_to_all corner-turn rides ICI).
+    ``placement`` picks which axis spans processes (hosts):
+
+    - ``"chan"`` (default — the production policy, SCALING.md §3): the
+      'chan' axis crosses hosts, so only the packed-byte corner-turn
+      slabs ride DCN (2.4-6.5 Gb/s/device at real time) and the
+      once-per-window visibility ``psum`` plus the PFB halo stay on
+      in-host ICI.  This matches the reference's own architecture of
+      share-nothing frequency shards across servers
+      (reference: pipeline/scripts/lwa352-pipeline.py:164-180).
+    - ``"time"``: the 'time' axis crosses hosts (sequence parallelism
+      over DCN); the psum then moves ~190 MB/device/window across the
+      NIC — viable on 200/400 GbE only.
     """
     devices = jax.devices()
     nproc = jax.process_count()
-    if n_time is None:
-        n_time = nproc
-    if n_chan is None:
-        n_chan = len(devices) // n_time
-    arr = np.array(devices[:n_time * n_chan]).reshape(n_time, n_chan)
+    if placement not in ("time", "chan"):
+        raise ValueError(f"unknown placement {placement!r}")
+    if placement == "chan":
+        if n_chan is None:
+            n_chan = nproc
+        if n_time is None:
+            n_time = len(devices) // n_chan
+        # jax.devices() orders by process: reshape so each COLUMN
+        # (chan coordinate) is one process's devices
+        arr = np.array(devices[:n_time * n_chan]).reshape(
+            n_chan, n_time).T
+    else:
+        if n_time is None:
+            n_time = nproc
+        if n_chan is None:
+            n_chan = len(devices) // n_time
+        arr = np.array(devices[:n_time * n_chan]).reshape(n_time, n_chan)
     return Mesh(arr, axis_names=("time", "chan"))
 
 

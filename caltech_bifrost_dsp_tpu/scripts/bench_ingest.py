@@ -46,11 +46,14 @@ def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
     got = [0] * len(ports)
 
     def tx(port):
-        for g in range(ngulp):
-            native.transmit_gulp(
-                "127.0.0.1", port, data, seq0=g * cfg.ntime_gulp,
-                nchan_per_pkt=64, npol_per_pkt=cfg.ninput,
-                delay_ns=delay_ns)
+        # one native call for the whole stream: a single socket and a
+        # single absolute pacing deadline (no per-gulp interpreter
+        # round trip), so the offered rate tracks delay_ns closely even
+        # with multiple in-process blasters
+        native.transmit_stream(
+            "127.0.0.1", port, data, ngulp,
+            nchan_per_pkt=64, npol_per_pkt=cfg.ninput,
+            delay_ns=delay_ns)
 
     def consume(i):
         while got[i] < ngulp:

@@ -115,23 +115,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PFB transform: matmul real-DFT (works on every "
                         "backend) or XLA rfft (faster on backends whose "
                         "compiler supports the FFT lowering)")
-    p.add_argument("--corr-engine", type=str, default="xla",
-                   choices=["xla", "pallas_triu", "pallas_blk"],
+    p.add_argument("--corr-engine", type=str, default="auto",
+                   choices=["auto", "xla", "pallas_triu", "pallas_blk"],
                    help="correlator engine: dense XLA matmuls, or the "
                         "triangular Pallas kernels (pallas_blk = "
-                        "256-block int8 Karatsuba, the fast one on v5e)")
-    p.add_argument("--bf-engine", type=str, default="xla",
-                   choices=["xla", "pallas"],
+                        "256-block int8 Karatsuba, the fast one on "
+                        "v5e); 'auto' = the committed production "
+                        "choice for the backend (config.TPU_ENGINES)")
+    p.add_argument("--bf-engine", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
                    help="beamformer engine: XLA matmuls + power pass, "
                         "or the fused Pallas kernel (voltages never "
-                        "touch HBM)")
-    p.add_argument("--subsel-engine", type=str, default="bands",
-                   choices=["bands", "xla", "pallas"],
-                   help="baseline-subselection engine: band-compacted "
-                        "slab DMA + small take (falls back to flat "
-                        "take in-graph for band-dense selections), XLA "
+                        "touch HBM); 'auto' per backend")
+    p.add_argument("--subsel-engine", type=str, default="auto",
+                   choices=["auto", "bands", "xla", "pallas"],
+                   help="baseline-subselection engine: 2-D "
+                        "block-compacted slab DMA + small take (falls "
+                        "back in-graph for band-dense selections), XLA "
                         "flat take(), or the Pallas lane-gather kernel "
-                        "(bit-identical output)")
+                        "(bit-identical output); 'auto' per backend")
     p.add_argument("--pfb-engine", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="FX channelizer engine: XLA matmul path or the "
@@ -170,14 +172,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def build_pipeline(args, log) -> XEnginePipeline:
+    from ..config import default_engines
+
+    engines = default_engines()
+    for key in ("corr_engine", "bf_engine", "subsel_engine"):
+        chosen = getattr(args, key)
+        if chosen != "auto":
+            engines[key] = chosen
     cfg = XEngineConfig(
         nstand=args.nstand, nchan=args.nchan, nbeam=args.nbeam,
         ntime_gulp=args.ntime_gulp, acc_len=args.acc_len,
         acc_len_slow=args.acc_len_slow, pipeline_id=args.pipelineid,
         pfb_fft_impl=args.pfb_impl, pfb_engine=args.pfb_engine,
         pfb_precision=args.pfb_precision, adc_dtype=args.adc_dtype,
-        corr_engine=args.corr_engine, bf_engine=args.bf_engine,
-        subsel_engine=args.subsel_engine)
+        **engines)
     CommandBlock.set_id(args.pipelineid)
     store = connect(args.etcdhost)
 

@@ -74,6 +74,16 @@ int64_t cbd_transmit_gulp(const char *dest_ip, int port,
                           int npol_per_pkt, long delay_ns,
                           int miss_every);
 
+/* Loop the same gulp ngulp times with advancing sequence numbers,
+ * entirely native: one socket, one absolute pacing deadline for the
+ * whole stream (stable offered rate for the full-rate gates). */
+int64_t cbd_transmit_stream(const char *dest_ip, int port,
+                            const uint8_t *data, int64_t ntime,
+                            int nchan, int ninput, int64_t seq0,
+                            int64_t ngulp, int nchan_per_pkt,
+                            int npol_per_pkt, long delay_ns,
+                            int miss_every);
+
 /* Packetize a dense int32 visibility cube as full-correlation packets
  * (custom 56-byte format) over UDP or to a file.  Returns packets
  * emitted, or -1 on error. */

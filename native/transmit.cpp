@@ -18,11 +18,11 @@
 
 #include <vector>
 
-extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
-                                     const uint8_t *data, int64_t ntime,
-                                     int nchan, int ninput, int64_t seq0,
-                                     int nchan_per_pkt, int npol_per_pkt,
-                                     long delay_ns, int miss_every) {
+static int64_t tx_stream(const char *dest_ip, int port,
+                         const uint8_t *data, int64_t ntime, int nchan,
+                         int ninput, int64_t seq0, int64_t ngulp,
+                         int nchan_per_pkt, int npol_per_pkt,
+                         long delay_ns, int miss_every) {
   if (nchan % nchan_per_pkt || ninput % npol_per_pkt) return -1;
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
@@ -57,13 +57,14 @@ extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
   // syscall latency every burst, capping the achievable offered rate
   timespec deadline;
   clock_gettime(CLOCK_MONOTONIC, &deadline);
-  for (int64_t t = 0; t < ntime; t++) {
+  for (int64_t gt = 0; gt < ngulp * ntime; gt++) {
+    const int64_t t = gt % ntime;
     const uint8_t *frame = data + (size_t)t * nchan * ninput;
     for (int cb = 0; cb < nchan_blocks; cb++) {
       for (int pb = 0; pb < npol_blocks; pb++) {
         counter++;
         if (miss_every > 0 && counter % miss_every == 0) continue;
-        h->seq = (uint64_t)(seq0 + t);
+        h->seq = (uint64_t)(seq0 + gt);
         h->chan_block_id = (uint32_t)cb;
         h->chan0 = (uint32_t)(cb * nchan_per_pkt);
         h->pol0 = (uint32_t)(pb * npol_per_pkt);
@@ -114,4 +115,30 @@ extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
   }
   close(fd);
   return sent;
+}
+
+extern "C" int64_t cbd_transmit_gulp(const char *dest_ip, int port,
+                                     const uint8_t *data, int64_t ntime,
+                                     int nchan, int ninput, int64_t seq0,
+                                     int nchan_per_pkt, int npol_per_pkt,
+                                     long delay_ns, int miss_every) {
+  return tx_stream(dest_ip, port, data, ntime, nchan, ninput, seq0, 1,
+                   nchan_per_pkt, npol_per_pkt, delay_ns, miss_every);
+}
+
+// Multi-gulp blaster: loops the same gulp ngulp times with advancing
+// sequence numbers, entirely in native code — one socket, one absolute
+// pacing deadline for the whole stream.  Removes the per-gulp
+// socket-setup + interpreter round trip that made the in-process
+// dual-blaster pacing ~20% erratic under load (the r3 flaky-gate
+// witness), so offered rate tracks delay_ns closely.
+extern "C" int64_t cbd_transmit_stream(const char *dest_ip, int port,
+                                       const uint8_t *data, int64_t ntime,
+                                       int nchan, int ninput, int64_t seq0,
+                                       int64_t ngulp, int nchan_per_pkt,
+                                       int npol_per_pkt, long delay_ns,
+                                       int miss_every) {
+  return tx_stream(dest_ip, port, data, ntime, nchan, ninput, seq0,
+                   ngulp, nchan_per_pkt, npol_per_pkt, delay_ns,
+                   miss_every);
 }

@@ -4,7 +4,14 @@ stateful sharded X/B step over the global ('time', 'chan') mesh built by
 ``parallel.multihost.global_mesh``, and writes the gathered products +
 arming arithmetic to an .npz for the parent to compare.
 
-Run: python multihost_worker.py <pid> <nproc> <coord_port> <outdir>
+Run: python multihost_worker.py <pid> <nproc> <coord_port> <outdir> \
+        [placement]
+
+``placement`` (default "chan") picks the cross-process mesh axis:
+"chan" is the production policy (SCALING.md §3 — frequency shards
+across hosts, only corner-turn slabs on DCN, matching the reference's
+share-nothing server layout, lwa352-pipeline.py:164-180); "time" is
+the sequence-parallel alternative (psum over DCN).
 """
 
 import os
@@ -12,6 +19,7 @@ import sys
 
 pid, nproc = int(sys.argv[1]), int(sys.argv[2])
 port, outdir = sys.argv[3], sys.argv[4]
+placement = sys.argv[5] if len(sys.argv) > 5 else "chan"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -40,8 +48,15 @@ multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
 assert jax.process_count() == nproc
 assert jax.device_count() == 4 * nproc, jax.device_count()
 
-mesh = multihost.global_mesh()          # time spans processes
-assert mesh.shape["time"] == nproc and mesh.shape["chan"] == 4
+mesh = multihost.global_mesh(placement=placement)
+if placement == "time":
+    assert mesh.shape["time"] == nproc and mesh.shape["chan"] == 4
+else:                                   # chan spans processes
+    assert mesh.shape["chan"] == nproc and mesh.shape["time"] == 4
+    # every device in this process's mesh column is local: the
+    # corner-turn is the ONLY collective crossing processes
+    col = [d for d in mesh.devices[:, jax.process_index()]]
+    assert all(d.process_index == jax.process_index() for d in col)
 
 CFG = cfgmod.XEngineConfig(nstand=8, nchan=32, ntime_gulp=48, acc_len=96,
                            acc_len_slow=192, nbeam=4, ntime_sum=12,
@@ -128,5 +143,7 @@ np.savez(os.path.join(outdir, f"out_{pid}.npz"),
          sub_re=np.asarray(sub_re), power=np.asarray(power),
          vlbi=np.asarray(vlbi_g), start=start,
          fx_re=np.asarray(fx_re), fx_im=np.asarray(fx_im),
-         chan_range=np.array([lo, hi]), packed=packed_np)
+         chan_range=np.array([lo, hi]), packed=packed_np,
+         adc=adc_np, n_time=mesh.shape["time"],
+         gains=gains_np, pairs=pairs_np)
 print(f"worker {pid} OK", flush=True)
