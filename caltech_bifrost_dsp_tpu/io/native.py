@@ -40,6 +40,11 @@ def load():
     lib.cbd_capture_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
+    lib.cbd_capture_create_xdp.restype = ctypes.c_void_p
+    lib.cbd_capture_create_xdp.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_int]
     lib.cbd_capture_start.restype = ctypes.c_int
     lib.cbd_capture_start.argtypes = [ctypes.c_void_p]
     lib.cbd_capture_get_gulp.restype = ctypes.c_int64
@@ -97,14 +102,31 @@ class NativeCapture:
     UDPCapture/UDPVerbsCapture C++ engines (capture_block.py:180-189)."""
 
     def __init__(self, cfg, bind_ip: str = "0.0.0.0", port: int = 10000,
-                 nbuf: int = 8):
+                 nbuf: int = 8, xdp_ifname: str | None = None,
+                 xdp_queue: int = 0):
+        """``xdp_ifname`` selects the AF_XDP kernel-bypass front end
+        (the reference's ``--ibverbs`` UDPVerbsCapture analog,
+        capture_block.py:180-189): packets for ``port`` on that
+        interface/queue bypass the kernel network stack into a
+        shared-memory ring.  Raises OSError when AF_XDP setup fails so
+        callers can fall back to the default recvmmsg engine."""
         self.cfg = cfg
         self._lib = load()
-        self._h = self._lib.cbd_capture_create(
-            bind_ip.encode(), port, cfg.nchan, cfg.ninput, cfg.ntime_gulp,
-            nbuf)
-        if not self._h:
-            raise OSError(f"failed to bind capture on {bind_ip}:{port}")
+        if xdp_ifname is not None:
+            self._h = self._lib.cbd_capture_create_xdp(
+                xdp_ifname.encode(), xdp_queue, port, cfg.nchan,
+                cfg.ninput, cfg.ntime_gulp, nbuf)
+            if not self._h:
+                raise OSError(
+                    f"AF_XDP capture setup failed on {xdp_ifname} "
+                    f"queue {xdp_queue} (kernel/caps/queue?)")
+        else:
+            self._h = self._lib.cbd_capture_create(
+                bind_ip.encode(), port, cfg.nchan, cfg.ninput,
+                cfg.ntime_gulp, nbuf)
+            if not self._h:
+                raise OSError(
+                    f"failed to bind capture on {bind_ip}:{port}")
         # rotating destination buffers: get_gulp returns a VIEW valid
         # until the same slot comes around again (the consumer copies it
         # into the staging ring / device anyway; an extra 65 MB
@@ -202,12 +224,15 @@ class CaptureSource:
     """
 
     def __init__(self, cfg, bind_ip: str = "0.0.0.0", port: int = 10000,
-                 nbuf: int = 16, poll_s: float = 2.0):
+                 nbuf: int = 16, poll_s: float = 2.0,
+                 xdp_ifname: str | None = None, xdp_queue: int = 0):
         from ..io import source as source_mod
 
         self.cfg = cfg
         self._sequence_header = source_mod.sequence_header
-        self.capture = NativeCapture(cfg, bind_ip, port, nbuf=nbuf)
+        self.capture = NativeCapture(cfg, bind_ip, port, nbuf=nbuf,
+                                     xdp_ifname=xdp_ifname,
+                                     xdp_queue=xdp_queue)
         self.capture.start()
         self.poll_s = poll_s
         self._stopped = False
@@ -267,12 +292,14 @@ class AdcCaptureSource(CaptureSource):
     """
 
     def __init__(self, cfg, bind_ip: str = "0.0.0.0", port: int = 10000,
-                 nbuf: int = 16, poll_s: float = 2.0):
+                 nbuf: int = 16, poll_s: float = 2.0,
+                 xdp_ifname: str | None = None, xdp_queue: int = 0):
         if cfg.adc_np_dtype != np.int8:
             raise ValueError("UDP ADC capture requires adc_dtype='int8'")
         self._fx_cfg = cfg
         super().__init__(cfg.replace(nchan=2 * cfg.nchan), bind_ip,
-                         port, nbuf=nbuf, poll_s=poll_s)
+                         port, nbuf=nbuf, poll_s=poll_s,
+                         xdp_ifname=xdp_ifname, xdp_queue=xdp_queue)
 
     def header(self, **kw) -> dict:
         h = self._sequence_header(self._fx_cfg, **kw)

@@ -126,7 +126,7 @@ def _occupancy(band_of: jax.Array, nb_tot: int, budget: int):
 
 
 def corr_subsel_bands(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
-                      budget: int = 32, col_budget: int = 2,
+                      budget: int = 16, col_budget: int = 2,
                       interpret: bool = False) -> Vis:
     """Block-compacted gather: DMA only the occupied (8-row x 128-col)
     blocks of the matrix into a compact slab (Pallas, pure block DMA),
@@ -146,7 +146,14 @@ def corr_subsel_bands(vis: Vis, input_pairs: jax.Array, nchan_sum: int,
     Band lists and slab indices are computed in-graph from
     ``input_pairs`` (the runtime-reloadable 'baselines' command changes
     them without a host round trip).  Output is bit-identical to
-    :func:`corr_subsel` on every branch."""
+    :func:`corr_subsel` on every branch.
+
+    The static budgets size the slab (every budget entry is DMA'd,
+    duplicates included): 16 row-bands x 2 column-tiles covers the
+    production selection (12 x 1) with margin at a
+    [nchan, 128, 256] slab — ~150 MB of total traffic per dump vs the
+    flat take's ~one cube read (~2 GB at the padded production
+    shape)."""
     from .pallas.subsel_gather import band_extract, block_extract
 
     nchan, ni, _ = vis.real.shape

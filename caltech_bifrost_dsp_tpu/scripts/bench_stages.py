@@ -139,6 +139,14 @@ def main(argv=None) -> int:
                     + 2 * (C // cfg.nchan_sum) * cfg.nvis_out * 4),
             "flops": 0,
         },
+        "subsel_bands": {
+            # 2-D block-compacted slab (production selection: 12
+            # row-bands x 1 col-tile inside the 16x2 static budget):
+            # extract reads + writes the slab, take reads it back
+            "hbm": (3 * (2 * C * 16 * 8 * 2 * 128 * 4)
+                    + 2 * (C // cfg.nchan_sum) * cfg.nvis_out * 4),
+            "flops": 0,
+        },
         "slow_accum": {
             "hbm": 3 * vis_bytes,              # read new + read acc + write
             "flops": 0,
@@ -201,6 +209,25 @@ def main(argv=None) -> int:
     stages["subsel_pallas"] = (
         jax.jit(lambda v, pr: corr_subsel_pallas(v, pr, cfg.nchan_sum)),
         (vis, pairs),
+        jax.jit(lambda v: jnp.sum(v.real[0, :8])
+                + jnp.sum(v.imag[1, :8])))
+    # the committed production engine, at the production selection (all
+    # pol pairs among the first 48 stands) on the blk engine's padded
+    # accumulator width — the operands the fused step really hands it
+    prod_pairs = jnp.asarray(cs.baselines_to_inputs(
+        cs.production_baselines(cfg.nvis_out, cfg.nstand))
+        .astype(np.int32))
+    from ..ops.pallas.corr_blk import padded_ni as _pni
+    nip = _pni(I)
+    vis_p = corr.Vis(
+        jnp.asarray(rng.randint(-1 << 20, 1 << 20, [C, nip, nip]),
+                    jnp.int32),
+        jnp.asarray(rng.randint(-1 << 20, 1 << 20, [C, nip, nip]),
+                    jnp.int32))
+    stages["subsel_bands"] = (
+        jax.jit(lambda v, pr: cs.corr_subsel_bands(v, pr,
+                                                   cfg.nchan_sum)),
+        (vis_p, prod_pairs),
         jax.jit(lambda v: jnp.sum(v.real[0, :8])
                 + jnp.sum(v.imag[1, :8])))
 

@@ -163,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None, metavar="TIMExCHAN",
                    help="run the fused step sharded over a device mesh, "
                         "e.g. '2x4' (time x chan axes)")
+    p.add_argument("--xdp", type=str, default=None, metavar="IFNAME",
+                   help="AF_XDP kernel-bypass capture on this interface "
+                        "(the reference's --ibverbs UDPVerbsCapture "
+                        "analog, capture_block.py:180-189); packets "
+                        "must fit the 4 KB UMEM chunk")
+    p.add_argument("--xdp-queue", type=int, default=0,
+                   help="NIC queue id for --xdp")
     p.add_argument("--etcdhost", type=str, default=None,
                    help="etcd server (in-memory store when omitted)")
     p.add_argument("-l", "--logfile", type=str, default=None)
@@ -199,7 +206,9 @@ def build_pipeline(args, log) -> XEnginePipeline:
                                  "width); f32 is fakesource-only")
             from ..io import native
 
-            src = native.AdcCaptureSource(cfg, args.ip, args.port)
+            src = native.AdcCaptureSource(cfg, args.ip, args.port,
+                                          xdp_ifname=args.xdp,
+                                          xdp_queue=args.xdp_queue)
         else:
             amp = args.adc_amplitude
             if amp is None:
@@ -222,7 +231,9 @@ def build_pipeline(args, log) -> XEnginePipeline:
     else:
         from .. io import native
 
-        src = native.CaptureSource(cfg, args.ip, args.port)
+        src = native.CaptureSource(cfg, args.ip, args.port,
+                                   xdp_ifname=args.xdp,
+                                   xdp_queue=args.xdp_queue)
 
     corr_outputs = []
     if args.corr_dest or args.testdatacorr:

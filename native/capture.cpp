@@ -9,7 +9,7 @@
 // when the stream has advanced past them (late/lost packets leave zeroed
 // holes, counted in nmissing -- the reference engine's behavior on loss).
 
-#include "cbd_native.h"
+#include "capture_impl.h"
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
@@ -18,13 +18,8 @@
 #include <time.h>
 #include <unistd.h>
 
-#include <atomic>
-#include <condition_variable>
 #include <cstdio>
 #include <cstdlib>
-#include <mutex>
-#include <thread>
-#include <vector>
 
 namespace {
 
@@ -32,55 +27,13 @@ constexpr int kBatch = 64;          // recvmmsg batch
 constexpr int kMaxPkt = 65536;      // UDP max (loopback / GRO paths can
                                     // exceed the 9k jumbo-frame size)
 
-struct Slot {
-  std::vector<uint8_t> data;        // ntime_gulp * nchan * ninput
-  std::vector<uint64_t> filled;     // per-packet landing bitmap: slots
-                                    // are NOT pre-zeroed (a 65 MB memset
-                                    // per gulp); holes are zeroed at
-                                    // emit time from the bitmap instead
-  int64_t gulp_id = -1;             // seq / ntime_gulp currently held
-  uint32_t npkt = 0;                // packets landed in this slot
-  bool ready = false;
-};
-
 }  // namespace
-
-struct CbdCapture {
-  int fd = -1;
-  int nchan = 0, ninput = 0, ntime_gulp = 0, nbuf = 0;
-  int lead = 2;  // emit a lossy gulp once the stream is this many ahead
-  size_t gulp_nbyte = 0;
-  uint32_t expected_pkts_per_gulp = 0;  // learned from first packet
-
-  std::vector<Slot> slots;
-  std::mutex mu;
-  std::condition_variable cv;
-  int64_t emit_next = -1;           // next gulp_id to hand to the consumer
-  int64_t highest_gulp = -1;
-
-  std::atomic<uint64_t> ngood_bytes{0}, npkt{0}, nmissing{0}, nseq{0};
-  int64_t last_seq = -1;
-  int64_t skip_from = -1, skip_to = -1;  // gap to jump over on emission
-
-  std::thread rx;
-  std::atomic<bool> running{false};
-  std::vector<uint8_t> scratch;     // consumer-side swap buffer so the
-                                    // gulp copy happens outside `mu`
-  std::vector<uint64_t> scratch_filled;
-  // learned packet geometry (first packet wins); if a later packet
-  // disagrees, bitmap indexing is impossible and we fall back to
-  // pre-zeroing slots on claim
-  int pkt_nchan = 0, pkt_npol = 0;
-  bool mixed_geometry = false;
-
-  Slot &slot_for(int64_t gulp_id) { return slots[gulp_id % nbuf]; }
-};
 
 // Zero every packet region whose landing bit is unset (bitmap-mode hole
 // fill).  Used at emit time on the consumer's copy and at the
 // mixed-geometry transition on in-flight slots.
-static void zero_holes(const CbdCapture *c, uint8_t *data,
-                       const uint64_t *filled) {
+void cbd_capture_zero_holes(const CbdCapture *c, uint8_t *data,
+                            const uint64_t *filled) {
   int pkn = c->pkt_nchan, pkp = c->pkt_npol;
   if (!pkn || !pkp) return;
   uint32_t expected = c->expected_pkts_per_gulp;
@@ -121,126 +74,131 @@ static void rx_loop(CbdCapture *c) {
     int n = recvmmsg(c->fd, msgs.data(), kBatch, MSG_WAITFORONE, nullptr);
     if (n <= 0) continue;
     std::lock_guard<std::mutex> lk(c->mu);
-    for (int i = 0; i < n; i++) {
-      size_t len = msgs[i].msg_len;
-      if (len < sizeof(cbd_snap2_hdr)) continue;
-      auto *h = reinterpret_cast<cbd_snap2_hdr *>(bufs[i].data());
-      if (h->magic != CBD_SNAP2_MAGIC) continue;
-      if ((int)h->nchan_tot != c->nchan || (int)h->npol_tot != c->ninput)
-        continue;
-      size_t payload = (size_t)h->nchan * h->npol;
-      if (len < sizeof(cbd_snap2_hdr) + payload) continue;
-      if (c->expected_pkts_per_gulp == 0) {
-        c->expected_pkts_per_gulp =
-            (uint32_t)((c->nchan / h->nchan) * (c->ninput / h->npol) *
-                       c->ntime_gulp);
-        c->pkt_nchan = h->nchan;
-        c->pkt_npol = h->npol;
-        size_t words = (c->expected_pkts_per_gulp + 63) / 64;
-        for (auto &sl : c->slots) sl.filled.assign(words, 0);
-        c->scratch_filled.assign(words, 0);
-      } else if (!c->mixed_geometry &&
-                 ((int)h->nchan != c->pkt_nchan ||
-                  (int)h->npol != c->pkt_npol)) {
-        c->mixed_geometry = true;  // revert to claim-time zeroing
-        // slots claimed under bitmap mode were never zeroed and their
-        // emit-time hole fill is now disabled: zero just the unfilled
-        // packet regions (per each slot's landing bitmap) so stale
-        // bytes cannot leak while already-landed payloads survive
-        for (auto &sl : c->slots)
-          if (sl.gulp_id >= 0 && !sl.ready)
-            zero_holes(c, sl.data.data(), sl.filled.data());
-      }
-      if (!c->mixed_geometry && c->pkt_npol &&
-          (int)h->pol0 % c->pkt_npol != 0)
-        continue;  // would alias another packet's landing bit; dropping
-                   // keeps the bitmap (and hole-zeroing) truthful
-      int64_t seq = (int64_t)h->seq;
-      // Sequence-break detection: a jump of more than a few gulps starts
-      // a new sequence (the reference C engine's discontinuity rule) and
-      // fast-forwards the emit cursor — the stream resumes at the new
-      // position instead of flooding zero-filled gap gulps.
-      if (c->last_seq >= 0 &&
-          (seq < c->last_seq - c->ntime_gulp ||
-           seq > c->last_seq + 4 * c->ntime_gulp)) {
-        c->nseq.fetch_add(1, std::memory_order_relaxed);
-        if (seq > c->last_seq + 4 * c->ntime_gulp) {
-          // record the void so the consumer skips it after draining the
-          // still-unread pre-gap gulps
-          c->skip_from = c->last_seq / c->ntime_gulp + 1;
-          c->skip_to = seq / c->ntime_gulp;
-        }
-      }
-      if (c->last_seq < 0) c->nseq.fetch_add(1, std::memory_order_relaxed);
-      c->last_seq = seq;
-
-      int64_t gulp_id = seq / c->ntime_gulp;
-      if (c->emit_next < 0) c->emit_next = gulp_id;
-      if (gulp_id < c->emit_next) continue;  // too late, already emitted
-      Slot &s = c->slot_for(gulp_id);
-      if (s.gulp_id != gulp_id) {
-        if (s.gulp_id >= c->emit_next && s.npkt > 0 && !s.ready) {
-          // overwriting a not-yet-emitted slot: stream advanced by more
-          // than the ring depth; count its holes and drop it
-          if (c->expected_pkts_per_gulp > s.npkt)  // dup-safe (mixed mode
-            c->nmissing.fetch_add(                 // can overshoot npkt)
-                c->expected_pkts_per_gulp - s.npkt,
-                std::memory_order_relaxed);
-          if (c->emit_next == s.gulp_id) c->emit_next = s.gulp_id + 1;
-        }
-        s.gulp_id = gulp_id;
-        s.npkt = 0;
-        s.ready = false;
-        if (c->mixed_geometry)
-          memset(s.data.data(), 0, s.data.size());
-        else
-          std::fill(s.filled.begin(), s.filled.end(), 0);
-      }
-      int t = (int)(seq - gulp_id * c->ntime_gulp);
-      size_t chan_off = (size_t)h->chan_block_id * h->nchan;
-      if (chan_off + h->nchan > (size_t)c->nchan) continue;
-      if ((size_t)h->pol0 + h->npol > (size_t)c->ninput) continue;
-      const uint8_t *src = bufs[i].data() + sizeof(cbd_snap2_hdr);
-      uint8_t *dst = s.data.data() +
-                     ((size_t)t * c->nchan + chan_off) * c->ninput +
-                     h->pol0;
-      if ((int)h->npol == c->ninput) {
-        // whole-row packets: one contiguous copy
-        memcpy(dst, src, payload);
-      } else {
-        for (int ch = 0; ch < h->nchan; ch++)
-          memcpy(dst + (size_t)ch * c->ninput,
-                 src + (size_t)ch * h->npol, h->npol);
-      }
-      if (!c->mixed_geometry) {
-        size_t pidx = ((size_t)t * (c->nchan / c->pkt_nchan) +
-                       h->chan_block_id) * (c->ninput / c->pkt_npol) +
-                      h->pol0 / c->pkt_npol;
-        uint64_t bit = 1ull << (pidx % 64);
-        // duplicates must not advance npkt: readiness is derived from
-        // npkt == expected, and a dup-inflated count would mark an
-        // incomplete gulp ready and skip its hole-zeroing
-        if (!(s.filled[pidx / 64] & bit)) {
-          s.filled[pidx / 64] |= bit;
-          s.npkt++;
-        }
-      } else {
-        s.npkt++;
-      }
-      c->npkt.fetch_add(1, std::memory_order_relaxed);
-      c->ngood_bytes.fetch_add(payload, std::memory_order_relaxed);
-      if (gulp_id > c->highest_gulp) c->highest_gulp = gulp_id;
-      // mixed geometry: expected_pkts_per_gulp was learned from the
-      // FIRST geometry and no longer predicts completeness (and without
-      // the landing bitmap a duplicate inflates npkt) — never derive
-      // readiness from the count there; emission falls back to the
-      // lead-distance rule, and claim-time zeroing covers the holes
-      if (!c->mixed_geometry && s.npkt == c->expected_pkts_per_gulp)
-        s.ready = true;
-    }
+    for (int i = 0; i < n; i++)
+      cbd_capture_process_locked(c, bufs[i].data(), msgs[i].msg_len);
     c->cv.notify_all();
   }
   c->cv.notify_all();
+}
+
+// Validate one snap2 datagram and scatter its payload into the slot
+// ring (shared by the recvmmsg and AF_XDP front ends; caller holds mu).
+void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
+                                size_t len) {
+  if (len < sizeof(cbd_snap2_hdr)) return;
+  auto *h = reinterpret_cast<const cbd_snap2_hdr *>(pkt);
+  if (h->magic != CBD_SNAP2_MAGIC) return;
+  if ((int)h->nchan_tot != c->nchan || (int)h->npol_tot != c->ninput)
+    return;
+  size_t payload = (size_t)h->nchan * h->npol;
+  if (len < sizeof(cbd_snap2_hdr) + payload) return;
+  if (c->expected_pkts_per_gulp == 0) {
+    c->expected_pkts_per_gulp =
+        (uint32_t)((c->nchan / h->nchan) * (c->ninput / h->npol) *
+                   c->ntime_gulp);
+    c->pkt_nchan = h->nchan;
+    c->pkt_npol = h->npol;
+    size_t words = (c->expected_pkts_per_gulp + 63) / 64;
+    for (auto &sl : c->slots) sl.filled.assign(words, 0);
+    c->scratch_filled.assign(words, 0);
+  } else if (!c->mixed_geometry &&
+             ((int)h->nchan != c->pkt_nchan ||
+              (int)h->npol != c->pkt_npol)) {
+    c->mixed_geometry = true;  // revert to claim-time zeroing
+    // slots claimed under bitmap mode were never zeroed and their
+    // emit-time hole fill is now disabled: zero just the unfilled
+    // packet regions (per each slot's landing bitmap) so stale
+    // bytes cannot leak while already-landed payloads survive
+    for (auto &sl : c->slots)
+      if (sl.gulp_id >= 0 && !sl.ready)
+        cbd_capture_zero_holes(c, sl.data.data(), sl.filled.data());
+  }
+  if (!c->mixed_geometry && c->pkt_npol &&
+      (int)h->pol0 % c->pkt_npol != 0)
+    return;  // would alias another packet's landing bit; dropping
+               // keeps the bitmap (and hole-zeroing) truthful
+  int64_t seq = (int64_t)h->seq;
+  // Sequence-break detection: a jump of more than a few gulps starts
+  // a new sequence (the reference C engine's discontinuity rule) and
+  // fast-forwards the emit cursor — the stream resumes at the new
+  // position instead of flooding zero-filled gap gulps.
+  if (c->last_seq >= 0 &&
+      (seq < c->last_seq - c->ntime_gulp ||
+       seq > c->last_seq + 4 * c->ntime_gulp)) {
+    c->nseq.fetch_add(1, std::memory_order_relaxed);
+    if (seq > c->last_seq + 4 * c->ntime_gulp) {
+      // record the void so the consumer skips it after draining the
+      // still-unread pre-gap gulps
+      c->skip_from = c->last_seq / c->ntime_gulp + 1;
+      c->skip_to = seq / c->ntime_gulp;
+    }
+  }
+  if (c->last_seq < 0) c->nseq.fetch_add(1, std::memory_order_relaxed);
+  c->last_seq = seq;
+
+  int64_t gulp_id = seq / c->ntime_gulp;
+  if (c->emit_next < 0) c->emit_next = gulp_id;
+  if (gulp_id < c->emit_next) return;  // too late, already emitted
+  CbdSlot &s = c->slot_for(gulp_id);
+  if (s.gulp_id != gulp_id) {
+    if (s.gulp_id >= c->emit_next && s.npkt > 0 && !s.ready) {
+      // overwriting a not-yet-emitted slot: stream advanced by more
+      // than the ring depth; count its holes and drop it
+      if (c->expected_pkts_per_gulp > s.npkt)  // dup-safe (mixed mode
+        c->nmissing.fetch_add(                 // can overshoot npkt)
+            c->expected_pkts_per_gulp - s.npkt,
+            std::memory_order_relaxed);
+      if (c->emit_next == s.gulp_id) c->emit_next = s.gulp_id + 1;
+    }
+    s.gulp_id = gulp_id;
+    s.npkt = 0;
+    s.ready = false;
+    if (c->mixed_geometry)
+      memset(s.data.data(), 0, s.data.size());
+    else
+      std::fill(s.filled.begin(), s.filled.end(), 0);
+  }
+  int t = (int)(seq - gulp_id * c->ntime_gulp);
+  size_t chan_off = (size_t)h->chan_block_id * h->nchan;
+  if (chan_off + h->nchan > (size_t)c->nchan) return;
+  if ((size_t)h->pol0 + h->npol > (size_t)c->ninput) return;
+  const uint8_t *src = pkt + sizeof(cbd_snap2_hdr);
+  uint8_t *dst = s.data.data() +
+                 ((size_t)t * c->nchan + chan_off) * c->ninput +
+                 h->pol0;
+  if ((int)h->npol == c->ninput) {
+    // whole-row packets: one contiguous copy
+    memcpy(dst, src, payload);
+  } else {
+    for (int ch = 0; ch < h->nchan; ch++)
+      memcpy(dst + (size_t)ch * c->ninput,
+             src + (size_t)ch * h->npol, h->npol);
+  }
+  if (!c->mixed_geometry) {
+    size_t pidx = ((size_t)t * (c->nchan / c->pkt_nchan) +
+                   h->chan_block_id) * (c->ninput / c->pkt_npol) +
+                  h->pol0 / c->pkt_npol;
+    uint64_t bit = 1ull << (pidx % 64);
+    // duplicates must not advance npkt: readiness is derived from
+    // npkt == expected, and a dup-inflated count would mark an
+    // incomplete gulp ready and skip its hole-zeroing
+    if (!(s.filled[pidx / 64] & bit)) {
+      s.filled[pidx / 64] |= bit;
+      s.npkt++;
+    }
+  } else {
+    s.npkt++;
+  }
+  c->npkt.fetch_add(1, std::memory_order_relaxed);
+  c->ngood_bytes.fetch_add(payload, std::memory_order_relaxed);
+  if (gulp_id > c->highest_gulp) c->highest_gulp = gulp_id;
+  // mixed geometry: expected_pkts_per_gulp was learned from the
+  // FIRST geometry and no longer predicts completeness (and without
+  // the landing bitmap a duplicate inflates npkt) — never derive
+  // readiness from the count there; emission falls back to the
+  // lead-distance rule, and claim-time zeroing covers the holes
+  if (!c->mixed_geometry && s.npkt == c->expected_pkts_per_gulp)
+    s.ready = true;
 }
 
 extern "C" {
@@ -286,8 +244,34 @@ CbdCapture *cbd_capture_create(const char *bind_ip, int port, int nchan,
 int cbd_capture_start(CbdCapture *c) {
   if (!c || c->running.load()) return -1;
   c->running.store(true);
-  c->rx = std::thread(rx_loop, c);
+  c->rx = std::thread(c->xsk ? cbd_xsk_rx_loop : rx_loop, c);
   return 0;
+}
+
+// AF_XDP variant: same slot ring / emission semantics, kernel-bypass
+// RX front end (the reference's UDPVerbsCapture analog,
+// capture_block.py:180-189).  Returns nullptr when AF_XDP setup fails
+// (kernel without XDP, no CAP_NET_ADMIN, jumbo frames without
+// multi-buffer); callers fall back to the recvmmsg engine.
+CbdCapture *cbd_capture_create_xdp(const char *ifname, int queue_id,
+                                   int port, int nchan, int ninput,
+                                   int ntime_gulp, int nbuf) {
+  auto *c = new CbdCapture();
+  c->lead = nbuf > 4 ? 2 : nbuf - 1;
+  c->nchan = nchan;
+  c->ninput = ninput;
+  c->ntime_gulp = ntime_gulp;
+  c->nbuf = nbuf < 2 ? 2 : nbuf;
+  c->gulp_nbyte = (size_t)ntime_gulp * nchan * ninput;
+  c->slots.resize(c->nbuf);
+  for (auto &s : c->slots) s.data.assign(c->gulp_nbyte, 0);
+  c->scratch.assign(c->gulp_nbyte, 0);
+  c->xsk = cbd_xsk_create(ifname, queue_id, port);
+  if (!c->xsk) {
+    delete c;
+    return nullptr;
+  }
+  return c;
 }
 
 int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
@@ -305,7 +289,7 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
       c->skip_from = c->skip_to = -1;
     }
     if (c->emit_next >= 0) {
-      Slot &s = c->slot_for(c->emit_next);
+      CbdSlot &s = c->slot_for(c->emit_next);
       bool passed = c->highest_gulp >= c->emit_next + c->lead;
       if (s.gulp_id == c->emit_next && (s.ready || passed)) {
         if (!s.ready && c->expected_pkts_per_gulp > s.npkt)
@@ -328,7 +312,7 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
         memcpy(out, c->scratch.data(), c->gulp_nbyte);
         if (!complete && !mixed && expected)
           // zero only the holes, located via the landing bitmap
-          zero_holes(c, out, c->scratch_filled.data());
+          cbd_capture_zero_holes(c, out, c->scratch_filled.data());
         return seq0;
       }
       // slot empty but stream has advanced: a fully-missing gulp
@@ -370,6 +354,7 @@ void cbd_capture_destroy(CbdCapture *c) {
   if (!c) return;
   cbd_capture_stop(c);
   if (c->fd >= 0) close(c->fd);
+  if (c->xsk) cbd_xsk_destroy(c->xsk);
   delete c;
 }
 

@@ -37,6 +37,17 @@ typedef struct __attribute__((packed)) {
 CbdCapture *cbd_capture_create(const char *bind_ip, int port, int nchan,
                                int ninput, int ntime_gulp, int nbuf);
 
+/* AF_XDP kernel-bypass variant (the reference's UDPVerbsCapture
+ * analog): a BPF program on `ifname`/`queue_id` redirects UDP frames
+ * for `port` straight into a shared-memory ring, skipping the kernel
+ * network stack.  Same gulp/consumer API.  Returns NULL when AF_XDP
+ * setup fails (old kernel, missing CAP_NET_ADMIN/CAP_BPF) — callers
+ * fall back to the recvmmsg engine.  UMEM chunks cap packets at
+ * ~4 KB (kernel page size) without XDP multi-buffer. */
+CbdCapture *cbd_capture_create_xdp(const char *ifname, int queue_id,
+                                   int port, int nchan, int ninput,
+                                   int ntime_gulp, int nbuf);
+
 /* Start the RX thread.  Returns 0 on success. */
 int cbd_capture_start(CbdCapture *c);
 
