@@ -103,7 +103,7 @@ def _make_dot(fast: bool):
 
 
 def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
-                 n_s: int, fast: bool):
+                 n_s: int, fast: bool, fir_impl: str = "frames"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -136,11 +136,23 @@ def _make_kernel(ntap: int, L: int, nchan: int, ts: int, ti: int,
         # slice instead costs ntap sliced int8 relayouts, measured
         # slower than the f32 input path outright
         ff = xbuf[slot].astype(jnp.float32)
-        frames = ff.reshape(ti, ts + ntap - 1, L)
-        fir = frames[:, 0:ts, :] * w_ref[0]
-        for k in range(1, ntap):
-            fir += frames[:, k:k + ts, :] * w_ref[k]
-        f2 = fir.reshape(ti * ts, L)
+        if fir_impl == "flat":
+            # lane-aligned FIR: tap-k's view of the FLAT slab starts at
+            # lane offset k*L (L = 2*nchan, a 128 multiple at the
+            # production point), so every slice is lane-tile aligned
+            # and the window arrives pre-tiled to [ntap, ts*L] — no
+            # sublane-offset slab relayouts; one minor-split reshape of
+            # the fir result feeds the MXU
+            fir = ff[:, 0:ts * L] * w_ref[0]
+            for k in range(1, ntap):
+                fir += ff[:, k * L:k * L + ts * L] * w_ref[k]
+            f2 = fir.reshape(ti * ts, L)
+        else:
+            frames = ff.reshape(ti, ts + ntap - 1, L)
+            fir = frames[:, 0:ts, :] * w_ref[0]
+            for k in range(1, ntap):
+                fir += frames[:, k:k + ts, :] * w_ref[k]
+            f2 = fir.reshape(ti * ts, L)
         dot = _make_dot(fast)
         dn2 = (((1,), (0,)), ((), ()))
         # ONE [R, L] x [L, 2*nchan] matmul for re|im (the cos and -sin
@@ -251,7 +263,7 @@ def _make_factored_kernel(ntap: int, L: int, nchan: int, ts: int,
 
 
 @functools.partial(jax.jit, static_argnames=("nchan", "ntap", "ti", "ts",
-                                             "fast", "paired",
+                                             "fast", "paired", "fir_impl",
                                              "interpret"))
 def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                                nchan: int, ntap: int, scale,
@@ -259,6 +271,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
                                ts: int | None = None,
                                fast: bool = False,
                                paired: bool | None = None,
+                               fir_impl: str = "frames",
                                interpret: bool = False) -> jax.Array:
     """Fused PFB + 4-bit requant.
 
@@ -367,7 +380,15 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
 
     cos_m, msin_m = rdft_matrices(nchan)
     cm = jnp.asarray(np.concatenate([cos_m, msin_m], axis=1))
-    kernel = _make_kernel(ntap, L, nchan, ts, ti, n_s, fast)
+    if fir_impl == "flat" and L % 128:
+        fir_impl = "frames"  # flat tap views need lane-tile alignment
+    kernel = _make_kernel(ntap, L, nchan, ts, ti, n_s, fast,
+                          fir_impl=fir_impl)
+    # flat FIR consumes the window pre-tiled to the spectra tile so the
+    # tap views multiply against lane-aligned flat slabs
+    w_arg = (jnp.tile(window, (1, ts)) if fir_impl == "flat"
+             else window)
+    w_width = ts * L if fir_impl == "flat" else L
     slab = (ts + ntap - 1) * L
     out = pl.pallas_call(
         kernel,
@@ -375,7 +396,7 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
         in_specs=[
             pl.BlockSpec((ninput, ntime), lambda i, s: (0, 0),
                          memory_space=pl.ANY),      # whole stream, HBM
-            pl.BlockSpec((ntap, L), lambda i, s: (0, 0),
+            pl.BlockSpec((ntap, w_width), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 2 * nchan), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -401,5 +422,5 @@ def pfb_quantize_packed_pallas(x: jax.Array, window: jax.Array,
             bytes_accessed=(x.dtype.itemsize * ninput * ntime
                             + ninput * nspec * nchan),
             transcendentals=0),
-    )(xt, window, cm, sc.reshape(1, nchan))
+    )(xt, w_arg, cm, sc.reshape(1, nchan))
     return out
