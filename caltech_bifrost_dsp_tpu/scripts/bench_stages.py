@@ -63,6 +63,9 @@ def main(argv=None) -> int:
                    help="chip bf16 MXU peak, TFLOP/s")
     p.add_argument("--hbm", type=float, default=819.0,
                    help="chip HBM bandwidth, GB/s")
+    p.add_argument("--vpu-tops", type=float, default=3.85,
+                   help="chip VPU peak, Tops/s of f32 lane ops "
+                        "(v5e: 4 ALUs x 8x128 lanes x 940 MHz)")
     p.add_argument("--stages", default="",
                    help="comma-separated subset to run")
     args = p.parse_args(argv)
@@ -97,21 +100,33 @@ def main(argv=None) -> int:
     plane_bf16 = 2 * T * C * I * 2          # two bf16 planes of the window
     vis_bytes = 2 * C * I * I * 4           # two int32 planes
     dft_flops_1pass = T * I * L * L * 2     # real-DFT matmul [L]x[L,L]
+    # VPU lane-op model for the fused PFB (the r3 kernel decomposition
+    # showed the gap to the two-resource roofline is the VPU FIR +
+    # quantize/pack chain, which SERIALIZES with the MXU dots inside a
+    # grid instance): FIR = ntap mul + (ntap-1) add per (spec, L,
+    # input) sample; requant+pack ~= 12 lane ops per packed byte
+    # (2x round/clip/convert + shift/and/or/convert); int8 input adds
+    # one whole-slab convert.
+    fir_vpu = T * L * I * (2 * ntap - 1)
+    quant_vpu = T * C * I * 12
     models = {
         "pfb_fused_bf16": {
             # one HBM pass: f32 ADC in, packed 4-bit out; DFT on MXU
             "hbm": (T + ntap - 1) * L * I * 4 + T * C * I,
             "flops": dft_flops_1pass + T * L * ntap * I * 2,
+            "vpu": fir_vpu + quant_vpu,
         },
         "pfb_fused_high": {
             # 3-pass compensated bf16 split = 3x the DFT MXU work
             "hbm": (T + ntap - 1) * L * I * 4 + T * C * I,
             "flops": 3 * dft_flops_1pass + T * L * ntap * I * 2,
+            "vpu": fir_vpu + quant_vpu + 4 * T * L * I,  # hi/lo splits
         },
         "pfb_fused_bf16_int8": {
             # int8 ADC input: 4x less HBM read than f32
             "hbm": (T + ntap - 1) * L * I + T * C * I,
             "flops": dft_flops_1pass + T * L * ntap * I * 2,
+            "vpu": fir_vpu + quant_vpu + T * L * I,  # slab convert
         },
         "corr_window": {
             # packed in, bf16 planes written+read once, vis out
@@ -263,15 +278,24 @@ def main(argv=None) -> int:
         m = models[name]
         t_mxu = m["flops"] / (args.tflops * 1e12)
         t_hbm = m["hbm"] / (args.hbm * GB)
-        t_sol = max(t_mxu, t_hbm)
-        rows.append({
+        t_vpu = m.get("vpu", 0) / (args.vpu_tops * 1e12)
+        # within a Pallas grid instance the VPU prologue/epilogue
+        # serializes with the MXU dots (Mosaic runs instances in
+        # order), so the compute floor is their SUM; DMA overlaps
+        t_sol = max(t_mxu + t_vpu, t_hbm)
+        binding = ("HBM" if t_hbm >= t_mxu + t_vpu else
+                   "MXU+VPU" if t_vpu > 0 else "MXU")
+        row = {
             "stage": name, "measured_ms": round(dt * 1e3, 2),
             "roofline_ms": round(t_sol * 1e3, 2),
             "mxu_ms": round(t_mxu * 1e3, 2),
             "hbm_ms": round(t_hbm * 1e3, 2),
-            "binding": "MXU" if t_mxu >= t_hbm else "HBM",
+            "binding": binding,
             "sol_fraction": round(t_sol / dt, 3) if dt else 0.0,
-        })
+        }
+        if t_vpu:
+            row["vpu_ms"] = round(t_vpu * 1e3, 2)
+        rows.append(row)
         print(f"{name}: {dt*1e3:.2f} ms measured, "
               f"SOL {t_sol*1e3:.2f} ms ({rows[-1]['binding']}-bound, "
               f"{rows[-1]['sol_fraction']*100:.0f}% of SOL)",
