@@ -34,7 +34,7 @@ import numpy as np
 
 
 def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
-                dev_put=None) -> dict:
+                dev_put=None, consume_timeout_s: float = 3.0) -> dict:
     """Drive one capture+blaster+consumer trio per port; returns
     aggregate stats.  Loss-free means nmissing == 0 across all engines."""
     from ..io import native
@@ -57,7 +57,7 @@ def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
 
     def consume(i):
         while got[i] < ngulp:
-            seq0, gulp = caps[i].get_gulp(timeout_s=3.0)
+            seq0, gulp = caps[i].get_gulp(timeout_s=consume_timeout_s)
             if seq0 is None:
                 break
             if dev_put is not None:
