@@ -118,6 +118,7 @@ def _to_chan_major(packed: jax.Array, layout: str) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("fast_first", "fast_last",
                                              "slow_first", "layout",
+                                             "unpack_cache",
                                              "interpret"))
 def packed_corr_blk_acc(packed: jax.Array,
                         fast_in: Vis | None,
@@ -125,6 +126,7 @@ def packed_corr_blk_acc(packed: jax.Array,
                         fast_first: bool, fast_last: bool,
                         slow_first: bool,
                         layout: str = "tci",
+                        unpack_cache: bool | None = None,
                         interpret: bool = False) -> tuple[Vis, Vis]:
     """Correlate one gulp AND apply the accumulator algebra in-kernel.
 
@@ -167,6 +169,24 @@ def packed_corr_blk_acc(packed: jax.Array,
         raise ValueError("fast_in must be a padded Vis")
     if add_slow and (slow_in is None or slow_in.real.shape[1] != ni):
         raise ValueError("slow_in must be a padded Vis")
+
+    if unpack_cache is None:
+        # Measured NEGATIVE at the production shape (r4, bench.py):
+        # 284.7 Gb/s cached vs 375.9 uncached.  The 4-plane int8 cache
+        # (56 MB at cb=8) exceeds the 128 MB VMEM budget, forcing the
+        # channel blocking down to cb=4, which costs more per-instance
+        # overhead than the ~4x unpack reduction saves; cb=6 compiles
+        # 0.5 MB over the scoped-vmem limit and cb=8 spills 38 MB of
+        # registers.  Kept (with CBD_CORR_CACHE_CB for experiments)
+        # because the trade flips if a future chip generation widens
+        # VMEM.  Output is bit-identical either way
+        # (tests/test_xengine_blk.py runs both).
+        unpack_cache = False
+    nout = 4 if (add_slow or (fast_last and slow_first)) else 2
+    if unpack_cache:
+        return _corr_blk_acc_cached(packed_cm, fast_in, slow_in,
+                                    add_fast, add_slow, fast_last,
+                                    slow_first, nout, interpret)
 
     # channels per instance: amortizes block DMA + per-instance
     # overhead across the channel axis (measured 10.7 -> 10.15 ms at
@@ -233,6 +253,139 @@ def packed_corr_blk_acc(packed: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * nchan * npair * BLK * BLK * 3 * ntime,
             bytes_accessed=(2 * nchan * npair * ntime * BLK
+                            + 4 * (2 + nout) * nchan * npair * BLK * BLK),
+            transcendentals=0),
+    )(bi, bj, *operands)
+    fast = Vis(outs[0], outs[1])
+    if nout == 4:
+        slow = Vis(outs[2], outs[3])
+    else:
+        slow = slow_in if slow_in is not None else fast
+    return fast, slow
+
+
+def _corr_blk_acc_cached(packed_cm: jax.Array,
+                         fast_in: Vis | None, slow_in: Vis | None,
+                         add_fast: bool, add_slow: bool,
+                         fast_last: bool, slow_first: bool,
+                         nout: int, interpret: bool) -> tuple[Vis, Vis]:
+    """Unpack-once variant of the accumulator kernel.
+
+    The pair-grid kernel re-derives the int8 Karatsuba planes of every
+    256-block once per PAIR it participates in (~4x per block at 704
+    inputs), and that in-kernel unpack chain is the measured residual
+    between the kernel (7.6 ms) and its 3-dot MXU roofline (5.5 ms).
+    Here each channel-group's whole input row stays VMEM-resident
+    (block index constant across the pair axis) and the first pair
+    instance unpacks ALL blocks into a VMEM scratch cache — four int8
+    planes per block: re, im, and both Karatsuba combination planes
+    (im-re for the A side, re+im for the B side) — which every
+    subsequent pair reads directly.  VPU unpack work drops ~4x; the
+    MXU dots and the fused accumulator epilogue are unchanged, so the
+    output is bit-identical."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchan, ntime, ni = packed_cm.shape
+    nblk = ni // BLK
+    pairs = _blocks(nblk)
+    npair = len(pairs)
+    bi = jnp.asarray(pairs[:, 0])
+    bj = jnp.asarray(pairs[:, 1])
+
+    # channel-group size bounded by the VMEM budget: cached planes
+    # (4 int8 planes x nblk blocks) + the resident input row (x2 for
+    # the pipeline's next-group prefetch) + the int32 accumulator
+    # tiles in flight
+    nin_v = 2 * (1 if add_fast else 0) + 2 * (1 if add_slow else 0)
+    import os as _os
+
+    cb_env = int(_os.environ.get("CBD_CORR_CACHE_CB", "0"))
+    cb = 1
+    for cand in (8, 6, 4, 3, 2):
+        if nchan % cand:
+            continue
+        budget = (4 * nblk * cand * ntime * BLK
+                  + 2 * cand * ntime * ni
+                  + 2 * (nin_v + nout) * cand * BLK * BLK * 4)
+        if budget <= 80 * 1024 * 1024:
+            cb = cand
+            break
+    if cb_env and nchan % cb_env == 0:
+        cb = cb_env
+
+    def kernel(bi_ref, bj_ref, *refs):
+        it = iter(refs)
+        x_ref = next(it)
+        fr_in = fi_in = sr_in = si_in = None
+        if add_fast:
+            fr_in, fi_in = next(it), next(it)
+        if add_slow:
+            sr_in, si_in = next(it), next(it)
+        fr_out, fi_out = next(it), next(it)
+        if nout == 4:
+            sr_out, si_out = next(it), next(it)
+        cache = next(it)
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            for b in range(nblk):
+                x32 = x_ref[:, :, b * BLK:(b + 1) * BLK].astype(
+                    jnp.int32)
+                r = ((x32 >> 4) ^ 8) - 8
+                q = ((x32 & 0xF) ^ 8) - 8
+                cache[0, b] = r.astype(jnp.int8)
+                cache[1, b] = q.astype(jnp.int8)
+                cache[2, b] = (q - r).astype(jnp.int8)  # A-side combo
+                cache[3, b] = (r + q).astype(jnp.int8)  # B-side combo
+
+        i_blk = bi_ref[k]
+        j_blk = bj_ref[k]
+        for ci in range(cb):
+            vr, vi = _dot3(cache[0, i_blk, ci], cache[1, i_blk, ci],
+                           cache[0, j_blk, ci], cache[1, j_blk, ci],
+                           cache[2, i_blk, ci], cache[3, j_blk, ci])
+            if add_fast:
+                vr = vr + fr_in[ci]
+                vi = vi + fi_in[ci]
+            fr_out[ci] = vr
+            fi_out[ci] = vi
+            if add_slow:
+                sr_out[ci] = sr_in[ci] + vr
+                si_out[ci] = si_in[ci] + vi
+            elif fast_last and slow_first:
+                sr_out[ci] = vr
+                si_out[ci] = vi
+
+    vspec = pl.BlockSpec((cb, BLK, BLK),
+                         lambda c, k, bi, bj: (c, bi[k], bj[k]))
+    blk_in = [pl.BlockSpec((cb, ntime, ni),
+                           lambda c, k, bi, bj: (c, 0, 0))]
+    operands = [packed_cm]
+    if add_fast:
+        blk_in += [vspec, vspec]
+        operands += [fast_in.real, fast_in.imag]
+    if add_slow:
+        blk_in += [vspec, vspec]
+        operands += [slow_in.real, slow_in.imag]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchan // cb, npair),
+        in_specs=blk_in,
+        out_specs=[vspec] * nout,
+        scratch_shapes=[
+            pltpu.VMEM((4, nblk, cb, ntime, BLK), jnp.int8)],
+    )
+    out_shape = [jax.ShapeDtypeStruct((nchan, ni, ni), jnp.int32)] * nout
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nchan * npair * BLK * BLK * 3 * ntime,
+            bytes_accessed=(nchan * ntime * ni
                             + 4 * (2 + nout) * nchan * npair * BLK * BLK),
             transcendentals=0),
     )(bi, bj, *operands)

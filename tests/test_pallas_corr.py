@@ -45,3 +45,34 @@ def test_tile_pairs_cover_upper_triangle():
     pairs = corr_triu._tile_pairs(6)
     assert len(pairs) == 21
     assert all(j >= i for i, j in pairs)
+
+
+def test_blk_acc_unpack_cache_bit_identical(rng):
+    """The unpack-once cached variant (kept for wider-VMEM chips;
+    measured slower on v5e — see corr_blk.py) must stay bit-identical
+    to the production uncached kernel, including the fused fast/slow
+    accumulator epilogues."""
+    import jax.numpy as jnp
+
+    from caltech_bifrost_dsp_tpu.ops.correlate import Vis
+    from caltech_bifrost_dsp_tpu.ops.pallas import corr_blk
+
+    C, T, NI = 4, 48, 512   # 2 blocks -> 3 pairs; cache holds 2 blocks
+    packed = jnp.asarray(rng.randint(0, 255, [C, T, NI])
+                         .astype(np.uint8))
+    slow = Vis(
+        jnp.asarray(rng.randint(-1000, 1000, [C, NI, NI])
+                    .astype(np.int32)),
+        jnp.asarray(rng.randint(-1000, 1000, [C, NI, NI])
+                    .astype(np.int32)))
+    outs = {}
+    for cache in (False, True):
+        fast, sl = corr_blk.packed_corr_blk_acc(
+            packed, None, slow, True, True, False, layout="cti",
+            unpack_cache=cache, interpret=True)
+        outs[cache] = (fast, sl)
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(np.asarray(a.real),
+                                      np.asarray(b.real))
+        np.testing.assert_array_equal(np.asarray(a.imag),
+                                      np.asarray(b.imag))
