@@ -150,10 +150,21 @@ def main(argv=None) -> int:
     adc = jnp.asarray(_gen_adc(nadc, cfg.ninput, args.adc_dtype))
     window = jnp.asarray(pfb_ops.pfb_window(cfg.nchan, cfg.pfb_ntap))
 
+    if cfg.bf_engine == "pallas":
+        # prestack the gain operand once, as the driver does at
+        # gain-load time (and as bench.py measures)
+        from ..ops.pallas.beamform_fused import stacked_gains
+
+        gains = stacked_gains(gains, xengine.bf_operand_ni(cfg))
+
     @jax.jit
     def step(state, adc, window, gains, pairs):
+        # chan-major (cti) staging: the corner-turn out of the PFB's
+        # input-major layout picks it for free, and both Pallas X/B
+        # engines read it directly (see bench.py)
         return xengine.fx_step(state, adc, window, jnp.float32(0.5),
-                               gains, pairs, True, True, False, cfg)
+                               gains, pairs, True, True, False, cfg,
+                               layout="cti")
 
     probe = jax.jit(lambda st: jnp.sum(st.vis_fast.real[0, 0, :8]))
 
