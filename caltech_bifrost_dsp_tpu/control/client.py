@@ -363,14 +363,31 @@ class CorrelatorControl:
         for p in self.pipelines:
             p.corr.set_start_time(start)
         deadline = time.time() + timeout_s
+
+        def phase_ok(stats, wanted):
+            s = stats.get("state")
+            # 'running' only counts as having passed 'waiting' if the
+            # stream has actually reached the NEW start — a stale
+            # pre-arm 'running' must not satisfy the arm verification
+            # (the reference checks the waiting -> running TRANSITION,
+            # lwa352_pipeline_control.py:165).  Pipelines that do not
+            # publish curr_sample are trusted on state alone.
+            cs = stats.get("curr_sample")
+            reached = cs is None or cs >= start
+            if wanted == "waiting":
+                return s == "waiting" or (s == "running" and reached)
+            return s == "running" and reached
+
         for wanted in ("waiting", "running"):
             while time.time() < deadline:
-                states = [p.corr.get_status().get("stats", {}).get("state")
-                          for p in self.pipelines]
-                if all(s in (wanted, "running") for s in states):
+                allstats = [p.corr.get_status().get("stats", {})
+                            for p in self.pipelines]
+                if all(phase_ok(st, wanted) for st in allstats):
                     break
                 time.sleep(poll_s)
             else:
                 raise CommandTimeout(
-                    f"pipelines failed to reach state {wanted!r}")
+                    f"pipelines failed to reach state {wanted!r} "
+                    f"(start={start}, states="
+                    f"{[st.get('state') for st in allstats]})")
         return start
