@@ -205,16 +205,18 @@ LWA352_TPU = LWA352.replace(**TPU_ENGINES)
 
 def default_engines(backend: str | None = None) -> dict:
     """Engine selection for ``auto`` CLI defaults: the committed TPU
-    engines on a TPU backend; the XLA reference engines elsewhere
-    (Pallas interpret mode on CPU is for exactness tests, not rate)."""
+    engines on a TPU backend ('tpu', or 'axon' — the TPU tunnel); the
+    XLA reference engines on any other backend (Mosaic kernels do not
+    lower on GPU, and Pallas interpret mode on CPU is for exactness
+    tests, not rate)."""
     if backend is None:
         import jax
 
         backend = jax.default_backend()
-    if backend == "cpu":
-        return dict(corr_engine="xla", bf_engine="xla",
-                    subsel_engine="xla")
-    return dict(TPU_ENGINES)
+    if backend in ("tpu", "axon"):
+        return dict(TPU_ENGINES)
+    return dict(corr_engine="xla", bf_engine="xla",
+                subsel_engine="xla")
 
 #: Reduced configs used by the test suite and the staged benchmarks
 #: (BASELINE.json "configs").

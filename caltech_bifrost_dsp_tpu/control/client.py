@@ -370,14 +370,27 @@ class CorrelatorControl:
             # stream has actually reached the NEW start — a stale
             # pre-arm 'running' must not satisfy the arm verification
             # (the reference checks the waiting -> running TRANSITION,
-            # lwa352_pipeline_control.py:165).  Pipelines that do not
-            # publish curr_sample are trusted on state alone.
+            # lwa352_pipeline_control.py:165) — AND the block reports
+            # THIS arm's start_time: preferably as the APPLIED value
+            # (``start_time`` republished by update_command_vals after
+            # boundary application), else the receipt echo
+            # (``new_start_time``, block_base.py stats keys).  A
+            # pipeline whose arm command was lost or never applied
+            # stays on its old grid and must fail verification even
+            # after wall time passes the commanded start.  Pipelines
+            # that publish neither are trusted on state alone.
             cs = stats.get("curr_sample")
             reached = cs is None or cs >= start
+            applied = stats.get("start_time")
+            echo = stats.get("new_start_time")
+            armed = (applied == start if applied is not None
+                     else echo == start if echo is not None else True)
             if wanted == "waiting":
-                return s == "waiting" or (s == "running" and reached)
-            return s == "running" and reached
+                return s == "waiting" or (s == "running" and reached
+                                          and armed)
+            return s == "running" and reached and armed
 
+        allstats: list = []
         for wanted in ("waiting", "running"):
             while time.time() < deadline:
                 allstats = [p.corr.get_status().get("stats", {})

@@ -30,12 +30,25 @@ def build(force: bool = False) -> str:
 
 
 def load():
-    """Load (building if necessary) and configure the C ABI."""
+    """Load (building if necessary) and configure the C ABI.
+
+    A prebuilt ``libcbd_native.so`` from an older checkout may lack
+    newer symbols (ctypes raises AttributeError during configuration);
+    rebuild once and retry instead of crashing every native path."""
     global _lib
     if _lib is not None:
         return _lib
     build()
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = _configure(ctypes.CDLL(_LIB_PATH))
+    except AttributeError:
+        build(force=True)
+        lib = _configure(ctypes.CDLL(_LIB_PATH))
+    _lib = lib
+    return lib
+
+
+def _configure(lib):
     lib.cbd_capture_create.restype = ctypes.c_void_p
     lib.cbd_capture_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int,
@@ -83,7 +96,6 @@ def load():
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
         ctypes.c_uint64, ctypes.c_uint32,
         ctypes.c_double, ctypes.c_char_p]
-    _lib = lib
     return lib
 
 
@@ -91,7 +103,7 @@ def available() -> bool:
     try:
         load()
         return True
-    except (OSError, subprocess.CalledProcessError):
+    except (OSError, subprocess.CalledProcessError, AttributeError):
         return False
 
 

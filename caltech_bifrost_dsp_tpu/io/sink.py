@@ -72,6 +72,19 @@ class UdpSender:
         self.sock.sendto(payload, self.dest)
 
 
+def udp_rx_socket(ip: str, port: int, rcvbuf_mb: int = 64,
+                  timeout_s: float | None = None):
+    """Bound receive socket with a deep kernel buffer — the shared
+    setup of every product-stream receiver CLI."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                    rcvbuf_mb * 1024 * 1024)
+    sock.bind((ip, port))
+    if timeout_s is not None:
+        sock.settimeout(timeout_s)
+    return sock
+
+
 def _cor_header_fields(cfg, sync_time: int, spectra_id: int,
                        acc_len: int, nchan_sum: int = 1):
     """Shared Mark5C header arithmetic (ADC-sample time units,

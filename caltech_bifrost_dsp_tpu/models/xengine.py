@@ -352,6 +352,6 @@ def default_inputs(cfg: XEngineConfig, seed: int = 0):
     # compile checks exercise the deployed gather pattern; falls back
     # to the autos-cycling default for configs too small to hold it
     pairs = jnp.asarray(cs.baselines_to_inputs(
-        cs.production_baselines(cfg.nvis_out, cfg.nstand), cfg.npol
-    ).astype(np.int32))
+        cs.production_baselines(cfg.nvis_out, cfg.nstand, cfg.npol),
+        cfg.npol).astype(np.int32))
     return init_state(cfg), packed, gains, pairs

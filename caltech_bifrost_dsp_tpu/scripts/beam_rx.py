@@ -129,9 +129,9 @@ def main(argv=None) -> int:
     p.add_argument("--timeout", type=float, default=30.0)
     args = p.parse_args(argv)
 
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 64 * 1024 * 1024)
-    sock.bind((args.ip, args.port))
+    from ..io.sink import udp_rx_socket
+
+    sock = udp_rx_socket(args.ip, args.port)
     print("Listening on %s:%d" % (args.ip, args.port))
     try:
         if args.capture:

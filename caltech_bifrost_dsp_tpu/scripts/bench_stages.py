@@ -230,8 +230,8 @@ def main(argv=None) -> int:
     # pol pairs among the first 48 stands) on the blk engine's padded
     # accumulator width — the operands the fused step really hands it
     prod_pairs = jnp.asarray(cs.baselines_to_inputs(
-        cs.production_baselines(cfg.nvis_out, cfg.nstand))
-        .astype(np.int32))
+        cs.production_baselines(cfg.nvis_out, cfg.nstand, cfg.npol),
+        cfg.npol).astype(np.int32))
     from ..ops.pallas.corr_blk import padded_ni as _pni
     nip = _pni(I)
     vis_p = corr.Vis(

@@ -60,9 +60,11 @@ def receive_part(sock, nbl: int, nchan: int, nvis_per_packet: int = 16,
             raise RuntimeError(
                 "spectra ID mismatch mid-integration: %d != %d"
                 % (hdr.spectra_id, target_id))
-        n = hdr.nvis
-        outbls[blcnt:blcnt + n] = bls
-        outbuf[blcnt:blcnt + n] = data[..., 0] + 1j * data[..., 1]
+        # the expected count need not be a packet multiple: trim the
+        # final packet instead of crashing on the slice assignment
+        n = min(hdr.nvis, nbl - blcnt)
+        outbls[blcnt:blcnt + n] = bls[:n]
+        outbuf[blcnt:blcnt + n] = (data[:n, :, 0] + 1j * data[:n, :, 1])
         blcnt += n
     return hdr, outbls, outbuf
 
@@ -160,9 +162,9 @@ def main(argv=None) -> int:
                         "integration exactly and exit nonzero on error")
     args = p.parse_args(argv)
 
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 64 * 1024 * 1024)
-    sock.bind((args.ip, args.port))
+    from ..io.sink import udp_rx_socket
+
+    sock = udp_rx_socket(args.ip, args.port)
     print("Listening on %s:%d (%d baselines x %d chans)"
           % (args.ip, args.port, args.nbl, args.nchan))
     hdr, bls, outbuf = receive_part(sock, args.nbl, args.nchan,

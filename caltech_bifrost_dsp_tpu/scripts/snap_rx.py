@@ -27,7 +27,11 @@ def sniff(sock, npkts: int, show_data: bool = False,
     packets (snap_rx.py main loop)."""
     n = 0
     while n < npkts:
-        hdr, payload = pk.decode_snap2(sock.recv(65536))
+        try:
+            p = sock.recv(65536)
+        except socket.timeout:
+            continue  # quiet wire: keep waiting (sniffer semantics)
+        hdr, payload = pk.decode_snap2(p)
         print(hdr, file=out)
         if show_data:
             re, im = codec.unpack_np(payload)
@@ -96,10 +100,9 @@ def main(argv=None) -> int:
     p.add_argument("-t", "--seconds", type=float, default=10.0,
                    help="stats mode: how long to listen")
     args = p.parse_args(argv)
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 64 * 1024 * 1024)
-    sock.bind((args.ip, args.port))
-    sock.settimeout(0.5)
+    from ..io.sink import udp_rx_socket
+
+    sock = udp_rx_socket(args.ip, args.port, timeout_s=0.5)
     print("Listening on %s:%d" % (args.ip, args.port))
     try:
         if args.dump:

@@ -222,6 +222,60 @@ def test_arm_and_wait_three_pipelines_with_skew(store):
         assert start >= exp            # in the future for EVERY pipeline
 
 
+def test_arm_and_wait_rejects_unarmed_running_pipeline(store):
+    """A pipeline that acks the arm command but never APPLIES it stays
+    'running' on its old accumulation grid; once wall time passes the
+    commanded start it must still FAIL verification (review finding:
+    a stale 'running' with curr_sample past start previously satisfied
+    both phases without any proof the arm took effect)."""
+    CommandBlock.set_id(0)
+    CommandBlock.reset_instance_counts()
+    blk = CommandBlock("Corr", store=store, host="testhost")
+    blk.define_command_key("acc_len", type=int, initial_val=2400)
+    blk.define_command_key(
+        "start_time", type=int, initial_val=0,
+        condition=lambda x: x == -1 or x % 480 == 0)
+    # published status: running, stream far past any commandable start,
+    # but the applied start_time is the STALE pre-arm value
+    store.put(
+        "/mon/corr/x/testhost/pipeline/0/Corr/0/status",
+        json.dumps({"sync_time": 1000.0, "bw_hz": 192 * 23925.78125,
+                    "nchan": 192,
+                    "stats": {"state": "running", "xgpu_acc_len": 480,
+                              "curr_sample": 10**15,
+                              "start_time": 0,
+                              "new_start_time": 0}}))
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    pls = [ctl.PipelineControl(cli, "testhost", 0)]
+    corr = ctl.CorrelatorControl(cli, pls)
+    with pytest.raises(ctl.CommandTimeout):
+        corr.arm_and_wait(delay_s=5.0, timeout_s=2.0)
+
+
+def test_arm_and_wait_immediate_deadline_raises_timeout(store):
+    """timeout_s=0 must raise CommandTimeout, not NameError (the
+    timeout message references the last-polled states, which do not
+    exist when the deadline expires before the first poll)."""
+    CommandBlock.set_id(0)
+    CommandBlock.reset_instance_counts()
+    blk = CommandBlock("Corr", store=store, host="testhost")
+    blk.define_command_key("acc_len", type=int, initial_val=2400)
+    blk.define_command_key(
+        "start_time", type=int, initial_val=0,
+        condition=lambda x: x == -1 or x % 480 == 0)
+    store.put(
+        "/mon/corr/x/testhost/pipeline/0/Corr/0/status",
+        json.dumps({"sync_time": 1000.0, "bw_hz": 192 * 23925.78125,
+                    "nchan": 192,
+                    "stats": {"state": "running",
+                              "xgpu_acc_len": 480}}))
+    cli = ctl.CorrControlClient(store=store, timeout_s=2.0)
+    corr = ctl.CorrelatorControl(
+        cli, [ctl.PipelineControl(cli, "testhost", 0)])
+    with pytest.raises(ctl.CommandTimeout):
+        corr.arm_and_wait(delay_s=5.0, timeout_s=0.0)
+
+
 def test_render_text_skips_subkeys(store):
     """The cached baselines sub-key (a bare JSON list) must not break
     the dashboard (regression: examples/demo.py crashed on it)."""

@@ -91,7 +91,8 @@ def test_bands_engine_2d_blocks_branch_ni512(rng):
     ni = 512
     pairs = jnp.asarray(rng.randint(0, 96, [600, 2]).astype(np.int32))
     nr, nc = _band_counts(pairs, ni)
-    assert nr <= 32 and nc <= 2      # precondition: 2-D branch taken
+    assert nr <= 16 and nc <= 2      # precondition: 2-D branch taken
+    # (16 = corr_subsel_bands' default row-band budget)
     _assert_bands_matches_flat(rng, ni, pairs)
 
 
@@ -103,7 +104,7 @@ def test_bands_engine_rows_branch_ni512(rng):
     hi = (lo + rng.randint(0, ni - 64, 600)).astype(np.int32)
     pairs = jnp.asarray(np.stack([lo, hi], axis=1))
     nr, nc = _band_counts(pairs, ni)
-    assert nr <= 32 and nc > 2       # precondition: rows branch taken
+    assert nr <= 16 and nc > 2       # precondition: rows branch taken
     _assert_bands_matches_flat(rng, ni, pairs)
 
 
