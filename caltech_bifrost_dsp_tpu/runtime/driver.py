@@ -797,7 +797,17 @@ class XEnginePipeline:
             self.corr_cmd.sequence_proclog.update(hdr)
             self.corr_acc_cmd.sequence_proclog.update(hdr)
             self.fast_ctrl.on_sequence_start(t)
-            self.slow_ctrl.on_sequence_start(t)
+            # The slow accumulator consumes the FAST output stream, so
+            # its realign measures missed integrations from the fast
+            # controller's RECOVERED start (the new output sequence
+            # head — reference: corr_acc_block.py:215-235, where
+            # this_gulp_time is the first fast dump of the new
+            # sequence), not the raw capture head.  With the raw head,
+            # the slow restart (margin 2) lands BEFORE the fast restart
+            # (margin 10) and its exact-match boundary never arrives —
+            # slow dumps would stop forever after a resync.
+            self.slow_ctrl.on_sequence_start(
+                max(t, self.fast_ctrl.start_time))
             slow_dec = None
             batch: list = []  # buffered (t, span, dec) within one acc
             for span in self.staging.read_spans(seq):

@@ -42,6 +42,13 @@ pytestmark = [
 CFG = cfgmod.TINY  # gulp 48, acc 240 (5 gulps), slow 480
 CAP_PORT = 19850
 
+FX_CFG = cfgmod.XEngineConfig(
+    nstand=8, nchan=16, ntime_gulp=48, acc_len=240, acc_len_slow=240,
+    nbeam=2, ntime_sum=12, nchan_sum=4, pfb_ntap=4, adc_dtype="int8",
+    pfb_fft_impl="matmul")
+FX_PORT = 19870
+TONE = 5
+
 
 class _CountRx:
     """UDP receiver thread: counts packets, remembers arrival times and
@@ -199,6 +206,115 @@ def test_soak_full_system(tmp_path):
     assert store.get_prefix("/mon/"), "monitor bridge published nothing"
 
     # 6. bounded memory: high-water growth after warmup < 300 MB
+    rss_end = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    growth_mb = (rss_end - state["rss_mid"]) / 1024.0
+    assert state["rss_mid"] > 0
+    assert growth_mb < 300.0, f"RSS high-water grew {growth_mb:.0f} MB"
+
+
+def test_soak_fx_mode(tmp_path):
+    """North-star-config soak: int8 ADC tone frames over real UDP into
+    the FX pipeline (channelization on-chip), paced, with a mid-run
+    sequence resync.  The tone must land in the right output channel
+    on dumps from BOTH sides of the break, with zero ingest loss and
+    bounded memory."""
+    cfg = FX_CFG
+    duration = float(os.environ.get("CBD_SOAK_S", "30"))
+    rate = float(os.environ.get("CBD_SOAK_RATE", "6"))
+    gulps_per_acc = cfg.acc_len // cfg.ntime_gulp
+    ngulp_total = max(int(duration * rate), 16 * gulps_per_acc)
+    n_a = ngulp_total // 2
+    n_b = ngulp_total - n_a
+    gap_gulps = 1000
+
+    rx = _CountRx(FX_PORT + 1)
+
+    class _Grab:
+        checkfile = None
+
+        def __init__(self):
+            self.dumps = []
+
+        def send_matrix(self, dense, sync_time, seq0, acc_len):
+            self.dumps.append((seq0, np.array(dense)))
+            return 0
+
+    grab = _Grab()
+    # warm the FX program first: the jitted step is a module-level
+    # cache, so a short in-process run compiles everything before the
+    # paced TX starts (otherwise first-gulp compile latency overruns
+    # the capture slot ring and the lost chunk re-breaks the sequence)
+    warm = XEnginePipeline(cfg, source.ADCSource(cfg, mode="tone",
+                                                 tone_chan=TONE,
+                                                 amplitude=50.0),
+                           fx_mode=True, quant_scale=0.2,
+                           corr_outputs=[_Grab()])
+    warm.run(2 * gulps_per_acc, timeout_s=120)
+
+    src = native.AdcCaptureSource(cfg, "127.0.0.1", FX_PORT, nbuf=64,
+                                  poll_s=30.0)
+    pipe = XEnginePipeline(
+        cfg, src, fx_mode=True, quant_scale=0.2,
+        corr_outputs=[grab, sink.CorrFullOutput(
+            cfg, send=sink.UdpSender("127.0.0.1",
+                                     FX_PORT + 1).__call__)])
+
+    gen = source.ADCSource(cfg, mode="tone", tone_chan=TONE,
+                           amplitude=50.0)
+    L = 2 * cfg.nchan
+    frame_gulps = [np.ascontiguousarray(
+        gen.gulp(i).reshape(cfg.ntime_gulp, L, cfg.ninput)
+        .view(np.uint8)) for i in range(4)]
+    state = {"rss_mid": 0}
+
+    def blast():
+        t0 = time.monotonic()
+        sent = 0
+
+        def send_one(seq0, i):
+            native.transmit_gulp(
+                "127.0.0.1", FX_PORT, frame_gulps[i % 4], seq0=seq0,
+                nchan_per_pkt=L, npol_per_pkt=cfg.ninput,
+                delay_ns=20_000)
+
+        for i in range(n_a):
+            time.sleep(max(0.0, t0 + sent / rate - time.monotonic()))
+            send_one(i * cfg.ntime_gulp, i)
+            sent += 1
+            if sent == n_a // 4:
+                state["rss_mid"] = \
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        base = (n_a + gap_gulps) * cfg.ntime_gulp
+        for i in range(n_b):
+            time.sleep(max(0.0, t0 + sent / rate - time.monotonic()))
+            send_one(base + i * cfg.ntime_gulp, i)
+            sent += 1
+
+    tx = threading.Thread(target=blast, daemon=True)
+    tx.start()
+    pipe.run(ngulp_total, timeout_s=duration + 180)
+    tx.join(timeout=60)
+    stats = src.stats()
+    src.close()
+    time.sleep(1.5)
+    rx.stop()
+
+    assert stats["nmissing"] == 0, stats
+    assert stats["nseq"] >= 2, stats
+    assert rx.count > 0, "no corr packets on the wire"
+
+    # dumps from both segments, tone in channel TONE on each side
+    gap_base = (n_a + gap_gulps) * cfg.ntime_gulp
+    pre = [d for s, d in grab.dumps if s < n_a * cfg.ntime_gulp]
+    post = [d for s, d in grab.dumps if s >= gap_base]
+    assert pre, "no pre-break dump"
+    assert post, ("no post-break dump (recovery margin not cleared "
+                  f"within segment B: {len(grab.dumps)} dumps)")
+    for mat in (pre[-1], post[-1]):
+        autos = np.real(mat[:, 0, 0]) if mat.ndim == 3 else \
+            np.real(np.einsum("ciipp->c", mat))
+        assert int(np.argmax(autos)) == TONE
+
     rss_end = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     growth_mb = (rss_end - state["rss_mid"]) / 1024.0
     assert state["rss_mid"] > 0
