@@ -173,11 +173,14 @@ def test_soak_full_system(tmp_path):
     assert pipe.ndump_fast >= want_a + max(want_b, 1), (
         pipe.ndump_fast, want_a, want_b)
     # subselection packets carry the window id: prove post-break windows
-    part_ids = set()
     hdr, _, _ = pk.decode_corr_part(rxs["part"].last_pkt)
-    part_ids.add(hdr.spectra_id)
     assert hdr.spectra_id >= (n_a + gap_gulps) * CFG.ntime_gulp, (
         "no post-break subsel window seen on the wire")
+    # ... and the SLOW stream must recover too (regression: the slow
+    # accumulator's realign previously never restarted after a resync)
+    chdr, _ = pk.decode_corr_full(rxs["corr"].last_pkt)
+    assert chdr.spectra_id >= (n_a + gap_gulps) * CFG.ntime_gulp, (
+        "no post-break slow dump seen on the wire")
 
     # 3. every output stream flowed, and kept flowing near the end
     end_t = time.monotonic()
