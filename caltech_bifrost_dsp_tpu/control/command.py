@@ -226,7 +226,17 @@ class CommandBlock:
                  for k in self._unapplied_keys}
         self._unapplied_keys.clear()
         if self._on_command_applied is not None and delta:
-            self._on_command_applied(delta)
+            try:
+                self._on_command_applied(delta)
+            except Exception as e:  # noqa: BLE001 — safety net
+                # immediate-apply hooks run on the store WATCH thread;
+                # an escaping exception there would kill command
+                # processing for every block while the data path keeps
+                # running.  Record and continue.
+                self.stats["last_cmd_error"] = str(e)
+                if self.log is not None:
+                    self.log.error("%s >> command apply hook failed: %s",
+                                   self.name, e)
 
     def update_command_vals(self) -> None:
         with self._control_lock:

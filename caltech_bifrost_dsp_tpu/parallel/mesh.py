@@ -86,7 +86,11 @@ def _beam_products_shard(cfg: XEngineConfig, packed, gains_r, gains_i,
 def _subsel_shard(cfg: XEngineConfig, vis: Vis, pairs) -> Vis:
     """Per-shard subselection honoring ``cfg.subsel_engine`` (each
     chan-shard owns whole channels and the full input axis, so the
-    gather is shard-local and bit-exact vs the unsharded engine)."""
+    gather is shard-local and bit-exact vs the unsharded engine).
+    Malformed runtime 'baselines' selections are clamped exactly as on
+    the single-device path (models/xengine.py _subsel): the command key
+    validates only the list length, not stand/pol ranges."""
+    pairs = jnp.clip(pairs, 0, cfg.ninput - 1)
     return cs.corr_subsel_engine(vis, pairs, cfg.nchan_sum,
                                  cfg.subsel_engine,
                                  jax.default_backend() == "cpu")

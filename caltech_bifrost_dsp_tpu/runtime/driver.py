@@ -72,7 +72,10 @@ class BeamformCommandBlock(CommandBlock):
             (cfg.nchan, cfg.nbeam, cfg.ninput), np.complex64)
         self.gains_new = np.zeros_like(self.cal_gains)
         self.gains_active = np.zeros_like(self.cal_gains)
-        self.gains_load_sample = np.zeros(cfg.nbeam)
+        # -2 = no load pending; -1 = load immediately; >= 0 = load once
+        # the stream reaches that sample (0 is a VALID schedule: "from
+        # stream start" — it must not double as the idle sentinel)
+        self.gains_load_sample = np.full(cfg.nbeam, -2, np.int64)
         self.freqs = (cfg.chan0 + np.arange(cfg.nchan)) * cfg.chan_bw_hz
         self.copy_pending = True
         self.define_command_key("coeffs", type=dict, initial_val={})
@@ -98,9 +101,15 @@ class BeamformCommandBlock(CommandBlock):
                                            * self.cal_gains[:, b, :])
                 self.gains_load_sample[b] = v.get("load_sample", -1)
                 self.update_pending = True
-        except KeyError:
+        except (KeyError, IndexError, ValueError, TypeError) as e:
+            # a malformed command (bad beam/input id, wrong-length
+            # data) must never propagate into the store watch thread —
+            # that would kill command processing for EVERY block while
+            # the pipeline keeps running
+            self.update_stats({"last_cmd_error": str(e)})
             if self.log:
-                self.log.error("BEAMFORM >> Failed to parse command")
+                self.log.error("BEAMFORM >> Failed to parse command: "
+                               "%s", e)
 
     def stage_loads(self, this_gulp_time: int) -> bool:
         """Copy any due per-beam coefficient sets into the active buffer
@@ -109,13 +118,13 @@ class BeamformCommandBlock(CommandBlock):
         with self._control_lock:
             for b in range(self.cfg.nbeam):
                 ls = self.gains_load_sample[b]
-                if ls == 0:
+                if ls == -2:
                     continue
                 if ls == -1 or this_gulp_time >= ls:
                     self.gains_active[:, b, :] = self.gains_new[:, b, :]
-                    self.gains_load_sample[b] = 0
+                    self.gains_load_sample[b] = -2
                     self.copy_pending = True
-            if self.gains_load_sample.sum() == 0:
+            if (self.gains_load_sample == -2).all():
                 self.update_pending = False
         return self.copy_pending
 
@@ -233,6 +242,17 @@ class OutputCommandBlock(CommandBlock):
         if not self.update_pending:
             return
         self.update_command_vals()
+        try:
+            self._apply_dest()
+        except OSError as e:
+            # a bad operator destination (unwritable dest_file,
+            # unresolvable IP) runs on the OUTPUT thread — it must
+            # surface as a stat, not crash the thread and wedge the
+            # pipeline behind the full out_queue
+            self.update_stats({"last_apply_error": str(e)})
+            self.sink.send = None
+
+    def _apply_dest(self):
         if "write_autos" in self.command_vals and \
                 hasattr(self.sink, "autos_path"):
             self.sink.autos_path = (self.command_vals["write_autos"]
@@ -264,7 +284,16 @@ class OutputCommandBlock(CommandBlock):
             self.sink.send = None
         mbps = self.command_vals["max_mbps"]
         if hasattr(self.sink, "throttle"):
-            self.sink.throttle = Throttle(mbps * 1e6 if mbps > 0 else None)
+            # a sink-mandated cap (IBeamOutput.MAX_BPS, the reference's
+            # 0.6 Gb/s VLBI ceiling) binds even when the operator asks
+            # for more or leaves max_mbps unset; the burst block size
+            # the sink chose at construction is preserved
+            cap = getattr(self.sink, "MAX_BPS", None)
+            rate = mbps * 1e6 if mbps > 0 else None
+            if cap is not None:
+                rate = cap if rate is None else min(rate, cap)
+            bb = getattr(self.sink.throttle, "block_bits", 8_000_000)
+            self.sink.throttle = Throttle(rate, block_bits=bb)
 
 
 class BeamOutputCommandBlock(CommandBlock):
@@ -677,7 +706,7 @@ class XEnginePipeline:
                             want_subsel=self._want_subsel))
                 adc = block.reshape(-1, cfg.ninput)
                 tail_prev = self._adc_tail
-                self._adc_tail = adc[-tail_prev.shape[0]:].copy()
+                self._adc_tail = self._next_tail(adc)
                 with _jax.set_mesh(self.mesh):
                     st, out, vlbi = self._mesh_steps[key](
                         st, jnp.asarray(adc), jnp.asarray(tail_prev),
@@ -706,7 +735,7 @@ class XEnginePipeline:
         if self.fx_mode:
             adc = block.reshape(-1, cfg.ninput)
             adc_ext = np.concatenate([self._adc_tail, adc])
-            self._adc_tail = adc[-self._adc_tail.shape[0]:].copy()
+            self._adc_tail = self._next_tail(adc)
             self.state, out = xengine.fx_step_jit(
                 self.state, jnp.asarray(adc_ext), self._window,
                 self.feng_cmd.scale_device, gains_dev,
@@ -753,6 +782,56 @@ class XEnginePipeline:
                 self.ndump_slow += 1
         self.out_queue.put(products)
 
+    def _sync_slow_granularity(self):
+        """A runtime fast acc_len change alters the slow accumulator's
+        input grid (the reference reads upstream_acc_len from each new
+        Corr output sequence and realigns, corr_acc_block.py:215-235).
+        Without this, the slow controller's exact-match boundaries sit
+        off the new dump grid and slow dumps silently stop forever."""
+        new_g = self.fast_ctrl.acc_len
+        slow = self.slow_ctrl
+        if slow.acc_len % new_g:
+            # incompatible — the reference logs the same condition as an
+            # error (corr_acc_block.py:231-233)
+            self.corr_acc_cmd.update_stats(
+                {"upstream_acc_error":
+                 f"acc_len {slow.acc_len} incompatible with upstream "
+                 f"{new_g}"})
+        slow.granularity = new_g
+        base = self.fast_ctrl.start_time
+        if slow.started:
+            # realign like a new upstream sequence, measured from the
+            # fast controller's (new) start
+            slow.on_sequence_start(base)
+            return
+        # not started: the armed (possibly still-pending) start must
+        # land on the NEW fast dump grid (base + k*new_g) and not
+        # before the fast restart, else its exact-match boundary never
+        # arrives.  Restage directly — reachability is guaranteed by
+        # construction, and command() would re-validate against a
+        # granularity the operator never chose.
+        st, al = (slow._pending if slow.update_pending
+                  else (slow.start_time, slow.acc_len))
+        if st is None or st == -1 or not al:
+            return
+        st2 = st
+        if st2 < base:
+            st2 = st + -(-(base - st) // al) * al  # ceil to its grid
+        off = (st2 - base) % new_g
+        if off:
+            st2 += new_g - off
+        if st2 != st:
+            slow._pending = (st2, al)
+            slow.update_pending = True
+
+    def _next_tail(self, adc: np.ndarray) -> np.ndarray:
+        """Carry the last (ntap-1) frames of this block as the next
+        block's PFB overlap.  With ntap == 1 there IS no overlap and
+        the carry must stay empty — ``adc[-0:]`` would alias the WHOLE
+        block and double every subsequent step's sample count."""
+        k = self._adc_tail.shape[0]
+        return adc[len(adc) - k:].copy() if k else self._adc_tail
+
     def _selftest_update(self, span, is_first, is_dump):
         from ..verification import golden as _golden
 
@@ -788,6 +867,15 @@ class XEnginePipeline:
         return gains
 
     def _compute(self):
+        # the sentinel must reach the output thread on EVERY exit path
+        # (normal end, stop-requested early return, exception) or it
+        # blocks in out_queue.get() forever
+        try:
+            self._compute_loop()
+        finally:
+            self.out_queue.put(None)
+
+    def _compute_loop(self):
         cfg = self.cfg
         gains_dev = self._device_gains()
         gulps_per_acc = self.fast_ctrl.acc_len // cfg.ntime_gulp
@@ -796,6 +884,14 @@ class XEnginePipeline:
             t = hdr["seq0"]
             self.corr_cmd.sequence_proclog.update(hdr)
             self.corr_acc_cmd.sequence_proclog.update(hdr)
+            if self.fx_mode:
+                # a new sequence means the ingest saw a stream break:
+                # the PFB FIR must not convolve across the gap, so the
+                # sequence restarts with a zero tail (stream-start
+                # semantics: its first ntap-1 spectra see zeros,
+                # exactly as at t=0) instead of prepending stale
+                # pre-gap samples
+                self._adc_tail = np.zeros_like(self._adc_tail)
             self.fast_ctrl.on_sequence_start(t)
             # The slow accumulator consumes the FAST output stream, so
             # its realign measures missed integrations from the fast
@@ -827,6 +923,9 @@ class XEnginePipeline:
                     gulps_per_acc = max(
                         1, self.fast_ctrl.acc_len // cfg.ntime_gulp)
                 dec = self.fast_ctrl.on_gulp(t)
+                if self.fast_ctrl.acc_len and \
+                        self.fast_ctrl.acc_len != self.slow_ctrl.granularity:
+                    self._sync_slow_granularity()
                 self.corr_cmd.update_stats(
                     {"state": self.fast_ctrl.state, "curr_sample": t})
                 if dec.action == Action.SKIP:
@@ -899,7 +998,6 @@ class XEnginePipeline:
                 t += cfg.ntime_gulp
             # sequence ended mid-window: hand leftover ring memory back
             self._release_spans([s for _, s, _ in batch])
-        self.out_queue.put(None)
 
     def _output(self):
         cfg = self.cfg
@@ -978,7 +1076,12 @@ class XEnginePipeline:
         for th in threads:
             th.join(timeout=timeout_s)
             if th.is_alive():
-                self._stop.set()
+                # full shutdown, not just the stop flag: an ingest
+                # blocked in write_span (ring backpressure) or a source
+                # blocked in recv only observes staging.shutdown() /
+                # source.stop() — otherwise zombie threads keep the
+                # ring and socket resources alive
+                self.shutdown()
                 raise TimeoutError(f"pipeline stage {th.name} stalled")
 
     def shutdown(self):

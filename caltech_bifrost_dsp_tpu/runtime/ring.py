@@ -43,13 +43,18 @@ class _Alloc:
 
 @dataclass
 class Sequence:
-    """One sequence: a header plus an ordered list of data spans."""
+    """One sequence: a header plus an ordered FIFO of data spans.
+
+    ``spans`` is a deque consumed from the front by the (single)
+    reader — consumed entries are REMOVED, not tombstoned, so a
+    months-long unbroken capture sequence holds only the in-flight
+    spans, never an ever-growing list."""
     time_tag: int
     header: dict
     seq_id: int
     ring: "Ring"
     closed: bool = False
-    spans: list = field(default_factory=list)  # retained span payloads
+    spans: deque = field(default_factory=deque)  # retained span payloads
     start_byte: int = 0
     nbyte: int = 0
 
@@ -94,7 +99,12 @@ class Ring:
         self._head = 0   # next free byte in the backing buffer
         self._live = 0   # bytes (incl. wrap pads) reserved, not yet freed
         self._lock = threading.Condition()
-        self._sequences: list[Sequence] = []
+        # consumed-and-closed sequences are pruned from the FRONT (a
+        # 24/7 stream must not accumulate one Sequence per resync
+        # forever); _seq_base counts pruned entries so the reader's
+        # absolute index stays valid
+        self._sequences: deque[Sequence] = deque()
+        self._seq_base = 0
         self._nbyte = 0
         self._seq_counter = 0
         self._shutdown = False
@@ -258,12 +268,22 @@ class Ring:
         idx = 0
         while True:
             with self._lock:
+                # prune fully-consumed, closed, already-yielded
+                # sequences from the front
+                while (self._sequences and self._seq_base < idx
+                       and self._sequences[0].closed
+                       and not self._sequences[0].spans):
+                    self._sequences.popleft()
+                    self._seq_base += 1
+
+                def _avail():
+                    return self._seq_base + len(self._sequences) > idx
+
                 ok = self._lock.wait_for(
-                    lambda: self._shutdown or len(self._sequences) > idx,
-                    timeout=timeout)
-                if not ok or (self._shutdown and len(self._sequences) <= idx):
+                    lambda: self._shutdown or _avail(), timeout=timeout)
+                if not ok or (self._shutdown and not _avail()):
                     return
-                seq = self._sequences[idx]
+                seq = self._sequences[idx - self._seq_base]
             idx += 1
             yield seq
 
@@ -275,27 +295,24 @@ class Ring:
         fused-XLA analog of the reference's multi-reader gpu_input_ring,
         lwa352-pipeline.py:232,279).
         """
-        idx = 0
         while True:
             with self._lock:
                 ok = self._lock.wait_for(
-                    lambda: self._shutdown or seq.closed
-                    or len(seq.spans) > idx, timeout=timeout)
+                    lambda: self._shutdown or seq.closed or seq.spans,
+                    timeout=timeout)
                 if not ok:
                     return
-                if len(seq.spans) <= idx:
+                if not seq.spans:
                     if seq.closed or self._shutdown:
                         return
                     continue
-                span = seq.spans[idx]
-                seq.spans[idx] = None  # release retention
+                span = seq.spans.popleft()  # consume-and-release
                 if self._span_off(span) is None:
                     # heap span: budget frees at hand-off (the reader got
                     # a private array).  Backed spans free only at
                     # release_span, once the device has consumed them.
                     self._nbyte -= span.nbytes
                 self._lock.notify_all()
-            idx += 1
             yield span
 
 

@@ -189,3 +189,44 @@ def test_write_span_larger_than_budget_fails_fast():
     seq = r.begin_sequence(time_tag=0, header={})
     with pytest.raises(ValueError):
         r.write_span(seq, np.zeros(4096, np.uint8))
+
+
+def test_long_run_holds_only_in_flight_state():
+    """24/7 leak regression: consumed spans are REMOVED (not
+    tombstoned) and consumed+closed sequences are pruned, so an
+    eternal stream holds only in-flight state."""
+    import threading
+
+    r = Ring("leak", nbyte_budget=1 << 20)
+    consumed = []
+
+    def reader():
+        for seq in r.read(timeout=5.0):
+            for span in r.read_spans(seq, timeout=5.0):
+                consumed.append(span[0])
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    # many short sequences (resyncs), each fully consumed
+    for s in range(50):
+        seq = r.begin_sequence(s, {"seq0": s})
+        for i in range(20):
+            r.write_span(seq, np.full(128, i, np.uint8))
+        r.end_sequence(seq)
+    # one long open sequence
+    seq = r.begin_sequence(99, {"seq0": 99})
+    for i in range(500):
+        r.write_span(seq, np.full(128, i % 251, np.uint8))
+    # let the reader drain
+    deadline = __import__("time").time() + 10
+    while len(consumed) < 50 * 20 + 500 and \
+            __import__("time").time() < deadline:
+        __import__("time").sleep(0.02)
+    assert len(consumed) == 50 * 20 + 500
+    # the open sequence's deque holds nothing once consumed
+    assert len(seq.spans) == 0
+    # closed+consumed sequences were pruned from the ring
+    assert len(r._sequences) <= 2
+    assert r._nbyte == 0
+    r.shutdown()
+    th.join(timeout=10)

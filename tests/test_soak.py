@@ -91,7 +91,12 @@ def test_soak_full_system(tmp_path):
     rate = float(os.environ.get("CBD_SOAK_RATE", "8"))
     ngulp_total = max(int(duration * rate), 16 * 5)
     n_a = ngulp_total // 2            # segment A, then the break
-    n_b = ngulp_total - n_a
+    # segment B must outlast the post-break recovery margins (fast
+    # margin 10 accs, slow margin 2 slow windows) plus one full slow
+    # window to dump, whatever duration the env chose
+    n_b_min = (11 * CFG.acc_len + 4 * CFG.acc_len_slow) \
+        // CFG.ntime_gulp
+    n_b = max(ngulp_total - n_a, n_b_min)
     gap_gulps = 1000                  # large jump -> capture fast-forwards
 
     rxs = {name: _CountRx(CAP_PORT + 1 + i)
@@ -150,7 +155,7 @@ def test_soak_full_system(tmp_path):
 
     tx = threading.Thread(target=blast, daemon=True)
     tx.start()
-    pipe.run(ngulp_total, timeout_s=duration + 180)
+    pipe.run(n_a + n_b, timeout_s=duration + 180)
     tx.join(timeout=60)
     stats = cap.stats()
     cap.close()
@@ -227,7 +232,10 @@ def test_soak_fx_mode(tmp_path):
     gulps_per_acc = cfg.acc_len // cfg.ntime_gulp
     ngulp_total = max(int(duration * rate), 16 * gulps_per_acc)
     n_a = ngulp_total // 2
-    n_b = ngulp_total - n_a
+    # post-break margins: fast 10 accs + slow 2 windows + 1 to dump
+    n_b_min = (11 * cfg.acc_len + 4 * cfg.acc_len_slow) \
+        // cfg.ntime_gulp
+    n_b = max(ngulp_total - n_a, n_b_min)
     gap_gulps = 1000
 
     rx = _CountRx(FX_PORT + 1)
@@ -295,7 +303,7 @@ def test_soak_fx_mode(tmp_path):
 
     tx = threading.Thread(target=blast, daemon=True)
     tx.start()
-    pipe.run(ngulp_total, timeout_s=duration + 180)
+    pipe.run(n_a + n_b, timeout_s=duration + 180)
     tx.join(timeout=60)
     stats = src.stats()
     src.close()
