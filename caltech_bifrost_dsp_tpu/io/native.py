@@ -43,7 +43,16 @@ def load():
         lib = _configure(ctypes.CDLL(_LIB_PATH))
     except AttributeError:
         build(force=True)
-        lib = _configure(ctypes.CDLL(_LIB_PATH))
+        # dlopen caches by path: re-CDLL'ing _LIB_PATH returns the
+        # already-mapped STALE library.  Load the rebuilt file through
+        # a unique temp copy instead (lives for the process lifetime).
+        import shutil
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".so", prefix="cbd_native_")
+        os.close(fd)
+        shutil.copy2(_LIB_PATH, tmp)
+        lib = _configure(ctypes.CDLL(tmp))
     _lib = lib
     return lib
 
@@ -169,7 +178,15 @@ class NativeCapture:
         writable uint8, gulp_nbyte) — e.g. a staging-ring reservation,
         so the slot->consumer memcpy is the only post-scatter copy.
         Returns seq0, or None on timeout."""
-        assert dest.nbytes == self.cfg.gulp_nbyte
+        # hard checks, not asserts: the native engine writes gulp_nbyte
+        # LINEAR bytes at the base pointer — a strided view scatters
+        # samples into the wrong layout, a short or read-only buffer is
+        # a heap overflow, and asserts vanish under ``python -O``
+        if dest.nbytes != self.cfg.gulp_nbyte:
+            raise ValueError(f"dest is {dest.nbytes} B, need "
+                             f"{self.cfg.gulp_nbyte}")
+        if not dest.flags["C_CONTIGUOUS"] or not dest.flags["WRITEABLE"]:
+            raise ValueError("dest must be C-contiguous and writable")
         seq0 = self._lib.cbd_capture_get_gulp(
             self._h, dest.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8)), timeout_s)

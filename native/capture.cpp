@@ -90,6 +90,15 @@ void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
   if (h->magic != CBD_SNAP2_MAGIC) return;
   if ((int)h->nchan_tot != c->nchan || (int)h->npol_tot != c->ninput)
     return;
+  // zero or non-divisor geometry would divide by zero below (SIGFPE
+  // from one malformed datagram) or corrupt the bitmap geometry
+  if (h->nchan == 0 || h->npol == 0 ||
+      c->nchan % h->nchan || c->ninput % h->npol)
+    return;
+  // a sequence number with the top bit set turns into a negative
+  // gulp index: negative slot_for() modulo and a destination pointer
+  // BEFORE the slot buffer (heap corruption from one spoofed packet)
+  if ((int64_t)h->seq < 0) return;
   size_t payload = (size_t)h->nchan * h->npol;
   if (len < sizeof(cbd_snap2_hdr) + payload) return;
   if (c->expected_pkts_per_gulp == 0) {
@@ -128,9 +137,35 @@ void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
     c->nseq.fetch_add(1, std::memory_order_relaxed);
     if (seq > c->last_seq + 4 * c->ntime_gulp) {
       // record the void so the consumer skips it after draining the
-      // still-unread pre-gap gulps
-      c->skip_from = c->last_seq / c->ntime_gulp + 1;
+      // still-unread pre-gap gulps.  A SECOND break before the first
+      // void was consumed extends the existing window to the newest
+      // jump target (bounded loss of the in-between gulps) — never
+      // narrows it, which would flood zero gulps for the first void.
+      if (c->skip_from < 0)
+        c->skip_from = c->last_seq / c->ntime_gulp + 1;
       c->skip_to = seq / c->ntime_gulp;
+    } else {
+      // BACKWARD jump: the transmitter restarted at a lower sequence
+      // (FPGA resync).  The emit cursor must rewind or every packet
+      // of the new stream is "too late" and the capture goes
+      // permanently deaf.  Drop unemitted old-stream slots and
+      // relearn the cursor from this packet.
+      for (auto &sl : c->slots) {
+        if (sl.gulp_id >= 0 && !sl.ready && sl.npkt > 0 &&
+            c->expected_pkts_per_gulp > sl.npkt)
+          c->nmissing.fetch_add(c->expected_pkts_per_gulp - sl.npkt,
+                                std::memory_order_relaxed);
+        sl.gulp_id = -1;
+        sl.npkt = 0;
+        sl.ready = false;
+        if (c->mixed_geometry)
+          memset(sl.data.data(), 0, sl.data.size());
+        else
+          std::fill(sl.filled.begin(), sl.filled.end(), 0);
+      }
+      c->emit_next = -1;
+      c->highest_gulp = -1;
+      c->skip_from = c->skip_to = -1;
     }
   }
   if (c->last_seq < 0) c->nseq.fetch_add(1, std::memory_order_relaxed);
@@ -143,12 +178,18 @@ void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
   if (s.gulp_id != gulp_id) {
     if (s.gulp_id >= c->emit_next && s.npkt > 0 && !s.ready) {
       // overwriting a not-yet-emitted slot: stream advanced by more
-      // than the ring depth; count its holes and drop it
-      if (c->expected_pkts_per_gulp > s.npkt)  // dup-safe (mixed mode
-        c->nmissing.fetch_add(                 // can overshoot npkt)
-            c->expected_pkts_per_gulp - s.npkt,
-            std::memory_order_relaxed);
-      if (c->emit_next == s.gulp_id) c->emit_next = s.gulp_id + 1;
+      // than the ring depth and the whole gulp is lost to the
+      // consumer.  Account it ONLY when this slot is the emit head
+      // (which we advance past — the consumer never sees it); any
+      // other slot is counted once by the fully-missing emission
+      // path when the consumer reaches it, and counting here too
+      // would double the loss statistics the rate gates assert on.
+      if (c->emit_next == s.gulp_id) {
+        if (c->expected_pkts_per_gulp)
+          c->nmissing.fetch_add(c->expected_pkts_per_gulp,
+                                std::memory_order_relaxed);
+        c->emit_next = s.gulp_id + 1;
+      }
     }
     s.gulp_id = gulp_id;
     s.npkt = 0;
@@ -206,11 +247,13 @@ extern "C" {
 CbdCapture *cbd_capture_create(const char *bind_ip, int port, int nchan,
                                int ninput, int ntime_gulp, int nbuf) {
   auto *c = new CbdCapture();
-  c->lead = nbuf > 4 ? 2 : nbuf - 1;
+  c->nbuf = nbuf < 2 ? 2 : nbuf;  // clamp BEFORE deriving lead: nbuf<=1
+                                  // would give lead<=0 and emit gulps
+                                  // while their packets still arrive
+  c->lead = c->nbuf > 4 ? 2 : c->nbuf - 1;
   c->nchan = nchan;
   c->ninput = ninput;
   c->ntime_gulp = ntime_gulp;
-  c->nbuf = nbuf < 2 ? 2 : nbuf;
   c->gulp_nbyte = (size_t)ntime_gulp * nchan * ninput;
   c->slots.resize(c->nbuf);
   for (auto &s : c->slots) s.data.assign(c->gulp_nbyte, 0);
@@ -257,11 +300,11 @@ CbdCapture *cbd_capture_create_xdp(const char *ifname, int queue_id,
                                    int port, int nchan, int ninput,
                                    int ntime_gulp, int nbuf) {
   auto *c = new CbdCapture();
-  c->lead = nbuf > 4 ? 2 : nbuf - 1;
+  c->nbuf = nbuf < 2 ? 2 : nbuf;  // clamp before lead (see above)
+  c->lead = c->nbuf > 4 ? 2 : c->nbuf - 1;
   c->nchan = nchan;
   c->ninput = ninput;
   c->ntime_gulp = ntime_gulp;
-  c->nbuf = nbuf < 2 ? 2 : nbuf;
   c->gulp_nbyte = (size_t)ntime_gulp * nchan * ninput;
   c->slots.resize(c->nbuf);
   for (auto &s : c->slots) s.data.assign(c->gulp_nbyte, 0);

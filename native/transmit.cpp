@@ -23,6 +23,8 @@ static int64_t tx_stream(const char *dest_ip, int port,
                          int ninput, int64_t seq0, int64_t ngulp,
                          int nchan_per_pkt, int npol_per_pkt,
                          long delay_ns, int miss_every) {
+  // reject zero BEFORE the modulo (x % 0 is SIGFPE, not an error code)
+  if (nchan_per_pkt <= 0 || npol_per_pkt <= 0) return -1;
   if (nchan % nchan_per_pkt || ninput % npol_per_pkt) return -1;
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;

@@ -42,7 +42,11 @@
 namespace {
 
 constexpr uint32_t kFrameSize = 4096;
-constexpr uint32_t kNumFrames = 16384;         // 64 MB UMEM
+constexpr uint32_t kNumFrames = 4096;          // = kRingSize: only ring
+                                               // depth frames ever
+                                               // circulate; a larger
+                                               // UMEM is pinned dead
+                                               // weight (16 MB total)
 constexpr uint32_t kRingSize = 4096;
 
 struct Ring {

@@ -485,3 +485,133 @@ def test_mixed_geometry_duplicates_do_not_fake_completeness():
     assert (data == 0x22).all()  # every late packet landed, no holes
     tx.close()
     cap.close()
+
+
+def test_malformed_headers_do_not_crash_engine():
+    """Zero/non-divisor geometry fields and negative sequence numbers
+    in otherwise-valid-looking packets must be DROPPED (previously:
+    SIGFPE from nchan=0, heap corruption from a negative seq)."""
+    import socket
+    import struct
+
+    port = PORT + 31
+    cap = native.NativeCapture(CFG, "127.0.0.1", port, nbuf=4)
+    cap.start()
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    dst = ("127.0.0.1", port)
+
+    def hdr(seq, npol, nchan, chan_block=0, pol0=0):
+        return struct.pack("<QIHHHHIII", seq & (2**64 - 1), 0xAABBCCDD,
+                           npol, CFG.ninput, nchan, CFG.nchan,
+                           chan_block, chan_block * max(nchan, 1), pol0)
+
+    # nchan=0, npol=0, non-divisor nchan, negative seq — all poison
+    tx.sendto(hdr(0, 8, 0), dst)
+    tx.sendto(hdr(0, 0, 16) + bytes(16), dst)
+    tx.sendto(hdr(0, 8, 7) + bytes(7 * 8), dst)
+    tx.sendto(hdr(-1, 8, 16) + bytes(16 * 8), dst)
+    tx.sendto(hdr(-(10 ** 12), 8, 16) + bytes(16 * 8), dst)
+    # a real gulp must still flow after the garbage
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]
+                       ).astype(np.uint8)
+    native.transmit_gulp("127.0.0.1", port, data, seq0=0,
+                         nchan_per_pkt=16, npol_per_pkt=8)
+    seq0, got = cap.get_gulp(timeout_s=10.0)
+    stats = cap.stats()
+    cap.close()
+    tx.close()
+    assert seq0 == 0
+    np.testing.assert_array_equal(got, data)
+    assert stats["nmissing"] == 0
+
+
+def test_backward_resync_recovers():
+    """A transmitter restart at a LOWER sequence (FPGA resync) must
+    rewind the emit cursor — previously every post-restart packet was
+    'too late' and the capture went permanently deaf."""
+    port = PORT + 33
+    cap = native.NativeCapture(CFG, "127.0.0.1", port, nbuf=8)
+    cap.start()
+    rng = np.random.RandomState(5)
+    data = rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]
+                       ).astype(np.uint8)
+    high = 10_000 * CFG.ntime_gulp
+    for g in range(3):
+        native.transmit_gulp("127.0.0.1", port, data,
+                             seq0=high + g * CFG.ntime_gulp,
+                             nchan_per_pkt=16, npol_per_pkt=8)
+    # restart at zero
+    for g in range(3):
+        native.transmit_gulp("127.0.0.1", port, data,
+                             seq0=g * CFG.ntime_gulp,
+                             nchan_per_pkt=16, npol_per_pkt=8)
+    seqs = []
+    for _ in range(6):
+        seq0, _g = cap.get_gulp(timeout_s=5.0)
+        if seq0 is None:
+            break
+        seqs.append(seq0)
+    stats = cap.stats()
+    cap.close()
+    # restart semantics: unemitted old-stream slots are dropped (their
+    # loss is bounded by the ring depth and counted); the NEW stream
+    # must flow from its lower position — previously the engine went
+    # permanently deaf instead
+    low = [s for s in seqs if s < high]
+    assert low == [g * CFG.ntime_gulp for g in range(len(low))]
+    assert len(low) >= 3
+    assert stats["nseq"] >= 2
+
+
+def test_nbuf_one_is_clamped_and_lossless():
+    """nbuf<=1 previously derived lead<=0 and emitted gulps while their
+    packets were still arriving (near-total loss)."""
+    port = PORT + 35
+    cap = native.NativeCapture(CFG, "127.0.0.1", port, nbuf=1)
+    cap.start()
+    rng = np.random.RandomState(6)
+    gulps = [rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]
+                         ).astype(np.uint8) for _ in range(3)]
+    # interleave TX and consumption (the clamped depth is 2: an unpaced
+    # 3-gulp burst with a late reader would legitimately overwrite)
+    got = []
+    for g, data in enumerate(gulps):
+        native.transmit_gulp("127.0.0.1", port, data,
+                             seq0=g * CFG.ntime_gulp,
+                             nchan_per_pkt=16, npol_per_pkt=8)
+        if g >= 1:
+            got.append(cap.get_gulp(timeout_s=10.0))
+    got.append(cap.get_gulp(timeout_s=10.0))
+    stats = cap.stats()
+    cap.close()
+    assert all(s is not None for s, _ in got)
+    assert len(got) == 3
+    for (seq0, data), want in zip(got, gulps):
+        np.testing.assert_array_equal(data, want)
+    assert stats["nmissing"] == 0
+
+
+def test_transmit_rejects_zero_packet_geometry():
+    """npol_per_pkt=0 must return an error, not SIGFPE."""
+    data = np.zeros([CFG.ntime_gulp, CFG.nchan, CFG.ninput], np.uint8)
+    with pytest.raises((RuntimeError, OSError, ValueError)):
+        native.transmit_gulp("127.0.0.1", PORT + 37, data, seq0=0,
+                             nchan_per_pkt=16, npol_per_pkt=0)
+
+
+def test_get_gulp_into_rejects_bad_buffers():
+    cap = native.NativeCapture(CFG, "127.0.0.1", PORT + 39, nbuf=2)
+    cap.start()
+    try:
+        with pytest.raises(ValueError):
+            cap.get_gulp_into(np.zeros(10, np.uint8), timeout_s=0.1)
+        big = np.zeros(2 * CFG.gulp_nbyte, np.uint8)
+        with pytest.raises(ValueError):
+            cap.get_gulp_into(big[::2], timeout_s=0.1)  # strided view
+        ro = np.zeros(CFG.gulp_nbyte, np.uint8)
+        ro.flags.writeable = False
+        with pytest.raises(ValueError):
+            cap.get_gulp_into(ro, timeout_s=0.1)
+    finally:
+        cap.close()
