@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import threading
 import time
+import uuid
 
 from ..utils import timeutils
 from .command import block_key
@@ -42,12 +43,16 @@ class CorrControlClient:
         self.resp_root = resp_root
         self.timeout_s = timeout_s
         self._seq = 0
+        # per-client nonce: two clients commanding the same block share
+        # one last-write-wins response key, and bare sequential ids
+        # starting at 1 would let them consume each other's responses
+        self._nonce = uuid.uuid4().hex[:8]
         self._lock = threading.Lock()
 
     def _next_seq(self) -> str:
         with self._lock:
             self._seq += 1
-            return str(self._seq)
+            return f"{self._nonce}-{self._seq}"
 
     def send_command(self, host, pipeline_id, block, instance_id=0,
                      timeout_s=None, **kwargs):
@@ -132,12 +137,24 @@ class CorrControl(BlockControl):
                                spectra_rate_hz: float | None = None,
                                granularity: int | None = None) -> int:
         status = self.get_status()
-        sync_time = sync_time if sync_time is not None \
-            else status.get("sync_time", 0)
-        if spectra_rate_hz is None:
-            spectra_rate_hz = status["bw_hz"] / status["nchan"]
-        if granularity is None:
-            granularity = status["stats"]["xgpu_acc_len"]
+        if sync_time is None:
+            if "sync_time" not in status:
+                # defaulting to 0 would arm at wall-time-in-spectra
+                # (~4e13), a start the stream never reaches
+                raise RuntimeError(
+                    "pipeline has not published its sequence fields "
+                    "yet (no sync_time in status) — wait for the "
+                    "monitor bridge's first publish or pass sync_time")
+            sync_time = status["sync_time"]
+        try:
+            if spectra_rate_hz is None:
+                spectra_rate_hz = status["bw_hz"] / status["nchan"]
+            if granularity is None:
+                granularity = status["stats"]["xgpu_acc_len"]
+        except KeyError as e:
+            raise RuntimeError(
+                f"pipeline status missing {e} — monitor bridge has "
+                "not published the sequence fields yet") from None
         return timeutils.next_allowed_start(time.time(), delay_s, sync_time,
                                             spectra_rate_hz, granularity)
 
@@ -283,10 +300,14 @@ class PipelineControl:
 
     def pipeline_is_up(self, max_age_s: float = 30.0) -> bool:
         """Liveness = status-key freshness
-        (reference: lwa352_pipeline_control.py:411-424)."""
+        (reference: lwa352_pipeline_control.py:411-424).  The monitor
+        bridge stamps each publish with a top-level ``time`` field
+        (monitor.py publish_once); ``last_update_time`` is accepted
+        too for stores fed by other publishers."""
         st = self.corr.get_status()
-        ts = st.get("stats", {}).get("last_update_time",
-                                     st.get("last_update_time", 0))
+        ts = (st.get("time")
+              or st.get("stats", {}).get("last_update_time")
+              or st.get("last_update_time", 0))
         return bool(ts) and (time.time() - ts) < max_age_s
 
 
@@ -303,13 +324,9 @@ class CorrelatorControl:
     def autocorrs(vis_dense, nstand: int, npol: int = 2):
         """Extract per-stand autocorrelation spectra from a dense
         visibility matrix -> real [nstand, npol, nchan]."""
-        import numpy as np
+        from ..ops.correlate import autocorr_spectra
 
-        v = np.asarray(vis_dense)
-        nchan = v.shape[0]
-        diag = np.real(v[:, np.arange(nstand * npol),
-                         np.arange(nstand * npol)])
-        return diag.T.reshape(nstand, npol, nchan)
+        return autocorr_spectra(vis_dense, nstand, npol)
 
     def plot_autocorrs(self, vis_dense, nstand: int, npol: int = 2,
                        outfile: str | None = None):

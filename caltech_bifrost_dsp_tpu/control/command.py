@@ -75,9 +75,14 @@ class CommandBlock:
         self.response_key = block_key(response_keyroot, host,
                                       self.pipeline_id, name, cnt)
         self.stats: dict = {}
-        self.stats_proclog = ProcLog(f"{name}/stats")
-        self.perf_proclog = ProcLog(f"{name}/perf")
-        self.sequence_proclog = ProcLog(f"{name}/sequence0")
+        # instance id in the proclog name (instance 0 keeps the bare
+        # reference-shaped name): without it a second instance of the
+        # same block replaced the first's registry entry and the
+        # monitor bridge published its stats under instance 0's key
+        logname = f"{name}.{cnt}" if cnt else name
+        self.stats_proclog = ProcLog(f"{logname}/stats")
+        self.perf_proclog = ProcLog(f"{logname}/perf")
+        self.sequence_proclog = ProcLog(f"{logname}/sequence0")
         self.update_pending = False
         self.command_vals: dict = {}
         self._pending_command_vals: dict = {}

@@ -61,13 +61,26 @@ class XengineController:
         pid = self.get_pid(pipeline_id)
         if pid is None:
             return {"ok": False, "err": "not running"}
+        proc = self.procs.get(pipeline_id)
         try:
             os.kill(pid, signal.SIGTERM)
             deadline = time.time() + timeout_s
-            while time.time() < deadline and self._pid_alive(pid):
+            while time.time() < deadline:
+                if proc is not None:
+                    # our own child: REAP it — a terminated child stays
+                    # a zombie until waited on, and os.kill(pid, 0)
+                    # keeps "succeeding" on zombies, so the loop burned
+                    # the whole timeout and SIGKILLed a corpse on every
+                    # clean stop
+                    if proc.poll() is not None:
+                        break
+                elif not self._pid_alive(pid):
+                    break
                 time.sleep(0.1)
-            if self._pid_alive(pid):
+            else:
                 os.kill(pid, signal.SIGKILL)
+                if proc is not None:
+                    proc.wait(timeout=5.0)
         except ProcessLookupError:
             pass
         try:

@@ -45,8 +45,13 @@ class MonitorBridge:
             blocks.setdefault(block, {})[kind or "misc"] = data
         out = {}
         for block, kinds in blocks.items():
+            # "<Block>.<n>" proclog names carry the instance id of a
+            # block's 2nd+ instance (command.py); publish each under
+            # its own .../<Block>/<n>/status key
+            bname, _, inst = block.partition(".")
             payload = {"time": now, "host": self.host,
-                       "pid": self.pipeline_id, "block": block}
+                       "pid": self.pipeline_id, "block": bname,
+                       "instance": int(inst) if inst else 0}
             payload.update(kinds)
             # sequence-header fields at top level: the arming arithmetic
             # reads sync_time/bw_hz/nchan straight off the status
@@ -64,7 +69,8 @@ class MonitorBridge:
                                        / (now - prev[0]) / 1e9)
                 self._prev_bytes[block] = (now, nbyte)
             key = (f"{self.keyroot}/x/{self.host}/pipeline/"
-                   f"{self.pipeline_id}/{block}/0/status")
+                   f"{self.pipeline_id}/{bname}/"
+                   f"{int(inst) if inst else 0}/status")
             # the big baseline list goes to a sub-key, only on change
             # (bifrost_etcd_bridge.py:148-160)
             bl = stats.pop("baselines", None) if isinstance(stats, dict) \

@@ -37,7 +37,14 @@ class _Hub:
                             {"event": {"key": key, "value": value}})
                             + "\n").encode())
                         wfile.flush()
-                    except OSError:
+                    except (OSError, ValueError):
+                        # OSError: connection reset / send timeout (the
+                        # per-watcher socket timeout bounds how long a
+                        # stalled watcher can hold the hub lock).
+                        # ValueError: writing to a wfile the handler
+                        # already closed after client EOF — without
+                        # catching it the stale entry was never pruned
+                        # and EVERY later put to this prefix died.
                         dead.append((prefix, wfile))
             for d in dead:
                 self.watchers.remove(d)
@@ -75,6 +82,17 @@ class StoreServer:
                             hub.data.pop(req["key"], None)
                         self._reply({"ok": True})
                     elif op == "watch":
+                        # bound event SENDS only (SO_SNDTIMEO, not a
+                        # python-level socket timeout, which would also
+                        # time out the handler's idle read loop and
+                        # close the watch): a watcher that stops
+                        # reading must not block hub.put (which holds
+                        # the hub lock) forever — after 5 s its send
+                        # fails and the watcher is pruned
+                        import struct as _struct
+                        self.connection.setsockopt(
+                            socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                            _struct.pack("ll", 5, 0))
                         with hub.lock:
                             hub.watchers.append((req["prefix"],
                                                  self.wfile))
@@ -152,6 +170,12 @@ class NetStore:
                   + "\n").encode())
         fh.flush()
         fh.readline()  # ack
+        # the connect/handshake timeout must NOT persist on the event
+        # stream: an idle watch would hit the 5 s recv timeout
+        # (TimeoutError is an OSError, swallowed below) and the watch
+        # thread died silently while still registered — the client
+        # stopped receiving commands 5 s after the last event
+        sock.settimeout(None)
 
         def _loop():
             try:
@@ -164,8 +188,8 @@ class NetStore:
                     if ev:
                         callback(WatchResponse(
                             [Event(ev["key"], ev["value"])]))
-            except OSError:
-                pass
+            except (OSError, ValueError):
+                pass  # cancel_watch closed the socket under us
 
         th = threading.Thread(target=_loop, daemon=True,
                               name=f"kv-watch-{prefix}")

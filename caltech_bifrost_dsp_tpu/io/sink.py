@@ -202,11 +202,10 @@ class CorrFullOutput:
 
     def _write_autos_planes(self, vis_re: np.ndarray,
                             spectra_id: int) -> str:
+        from ..ops.correlate import autocorr_spectra
+
         cfg = self.cfg
-        nin = cfg.ninput
-        diag = vis_re[:, np.arange(nin), np.arange(nin)]
-        autos = diag.T.reshape(cfg.nstand, cfg.npol,
-                               cfg.nchan).astype(np.float32)
+        autos = autocorr_spectra(vis_re, cfg.nstand, cfg.npol)
         fname = os.path.join(self.autos_path,
                              "autos_%d.npy" % spectra_id)
         np.save(fname, autos)
@@ -438,6 +437,9 @@ class TriggeredDump:
 
     def trigger(self, ntime_per_file: int, nfile: int = 1,
                 dump_path: str | None = None) -> list[str]:
+        # an 'abort'/'stop' issued while NO dump was running must not
+        # stay latched and silently cancel this trigger at file 0
+        self.abort_requested = False
         path = dump_path or self.dump_path
         files = []
         hdr0 = self.ring.header

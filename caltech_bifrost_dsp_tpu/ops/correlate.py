@@ -175,6 +175,22 @@ def vis_to_numpy_complex(vis: Vis):
             + 1j * np.asarray(vis.imag, dtype=np.int64)).astype(np.complex128)
 
 
+def autocorr_spectra(vis_dense, nstand: int, npol: int = 2):
+    """Per-stand autocorrelation spectra from a dense visibility cube
+    [nchan, ninput, ninput] -> real f32 [nstand, npol, nchan].
+
+    The single home for the input-ordering assumption
+    (input = stand*npol + pol): both the write_autos sink and the
+    control-side quick-look plots call this."""
+    import numpy as np
+
+    v = np.asarray(vis_dense)
+    nchan = v.shape[0]
+    nin = nstand * npol
+    diag = np.real(v[:, np.arange(nin), np.arange(nin)])
+    return diag.T.reshape(nstand, npol, nchan).astype(np.float32)
+
+
 def long_accumulate(vis_new: Vis, vis_acc: Vis) -> Vis:
     """One CorrAcc step: int32 add of a fast dump into the slow accumulator
     (replaces the JIT'd ``BFMap("a += b")`` at
