@@ -118,6 +118,14 @@ class XEngineConfig:
                 f"unknown pfb_precision {self.pfb_precision!r}")
         if self.pfb_engine not in ("xla", "pallas"):
             raise ValueError(f"unknown pfb_engine {self.pfb_engine!r}")
+        if self.pfb_engine == "pallas" and self.pfb_fft_impl != "matmul":
+            # only the matmul channelizer dispatches on pfb_engine —
+            # accepting the combination would silently run the XLA fft
+            # path while the operator believes the fused Pallas kernel
+            # is active
+            raise ValueError("pfb_engine='pallas' requires "
+                             "pfb_fft_impl='matmul' (the fused kernel "
+                             "is a matmul-DFT channelizer)")
         if self.adc_dtype not in ("float32", "int8"):
             raise ValueError(f"unknown adc_dtype {self.adc_dtype!r}")
 

@@ -165,9 +165,19 @@ class FullObservationHDF5Writer:
         t0 = int(round(ti))
         f0 = int(round((sfreq_hz - self.sfreq_hz) / self.fstep_hz))
         T, nf = intensity.shape
-        self.fh["Observation1/Tuning1/I"][t0:t0 + T, f0:f0 + nf] = \
-            intensity
-        self.fh["Observation1"].attrs["tInt"] = self.tstep_s
+        ds = self.fh["Observation1/Tuning1/I"]
+        # clip to the preallocated observation: a negative offset would
+        # WRAP via python slicing and silently overwrite the END of the
+        # dataset; an overhanging block would crash mid-observation
+        nt_tot, nf_tot = ds.shape
+        tcut0 = max(0, -t0)
+        fcut0 = max(0, -f0)
+        tcut1 = max(0, (t0 + T) - nt_tot)
+        fcut1 = max(0, (f0 + nf) - nf_tot)
+        if tcut0 + tcut1 >= T or fcut0 + fcut1 >= nf:
+            return  # entirely outside the observation window
+        ds[t0 + tcut0:t0 + T - tcut1, f0 + fcut0:f0 + nf - fcut1] = \
+            intensity[tcut0:T - tcut1, fcut0:nf - fcut1]
 
     def close(self) -> None:
         self.fh.close()

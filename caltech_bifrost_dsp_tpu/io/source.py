@@ -79,7 +79,7 @@ class DummySource:
         self._t_start = None
         self._fill_i = 0
         self._ramp = None
-        self._zeroed_slots: set = set()
+        self._zeroed_slots: dict = {}  # key -> weakref(backing)
 
     def header(self, seq0: int = 0, **kw) -> dict:
         return sequence_header(self.cfg, seq0, **kw)
@@ -143,10 +143,21 @@ class DummySource:
         i = self._fill_i
         self._fill_i += 1
         if self.skip_write:
-            key = (dest.__array_interface__["data"][0], dest.nbytes)
-            if key not in self._zeroed_slots:
+            # identity = (root backing object, offset, size): a raw
+            # address key could alias a RECYCLED allocation holding
+            # garbage after a ring rebuild.  The weakref pins the
+            # backing's id for as long as the cache entry lives.
+            import weakref
+
+            base = dest
+            while base.base is not None:
+                base = base.base
+            key = (id(base), dest.__array_interface__["data"][0],
+                   dest.nbytes)
+            ref = self._zeroed_slots.get(key)
+            if ref is None or ref() is not base:
                 out[...] = 0
-                self._zeroed_slots.add(key)
+                self._zeroed_slots[key] = weakref.ref(base)
         elif self.mode == "ramp":
             flat = out.reshape(-1)
             if self._ramp is None or self._ramp.size != flat.size:
@@ -197,6 +208,9 @@ class ADCSource:
         h = sequence_header(self.cfg, seq0, **kw)
         h["nbit"] = 8 * self.dtype.itemsize
         h["adc"] = True
+        h["complex"] = False  # raw ADC samples are REAL: a consumer
+        # deriving bytes-per-sample from nbit x (2 if complex) would
+        # misparse archived dumps otherwise
         return h
 
     def _cast(self, x: np.ndarray) -> np.ndarray:
@@ -297,7 +311,7 @@ class UdpSnap2Source:
         self.timeout_s = timeout_s
         sock.settimeout(timeout_s)
         self._pending: dict[int, np.ndarray] = {}
-        self._filled: dict[int, int] = {}
+        self._filled: dict[int, set] = {}  # per-gulp landing keys
         self.ngood_bytes = 0
         self.nmissing = 0
 
@@ -313,14 +327,23 @@ class UdpSnap2Source:
         interleaving at gulp boundaries into systematic fake loss."""
         cfg = self.cfg
         g = self.ntime_gulp
+        # prune stashes the caller skipped past (a resync jumping the
+        # request forward would otherwise leak full-gulp buffers
+        # forever in a long-running capture)
+        for k in [k for k in self._pending if k < seq_start]:
+            self._pending.pop(k, None)
+            self._filled.pop(k, None)
         buf = self._pending.pop(seq_start, None)
-        got = self._filled.pop(seq_start, 0)
+        # landing sets, not counters: a duplicated datagram must not
+        # advance completion (it would end the loop early with a
+        # genuinely lost packet's region silently zero and nmissing 0)
+        landed = self._filled.pop(seq_start, None) or set()
         if buf is None:
             buf = np.zeros((g, cfg.nchan, cfg.ninput), np.uint8)
         expected = getattr(self, "_expected", None)
         deadline = time.monotonic() + self.timeout_s
         while time.monotonic() < deadline:
-            if expected is not None and got >= expected:
+            if expected is not None and len(landed) >= expected:
                 break
             try:
                 pkt = self.sock.recv(65536)
@@ -335,6 +358,7 @@ class UdpSnap2Source:
             if t < 0:
                 continue  # stale packet from an already-emitted gulp
             c0 = hdr.chan_block_id * hdr.nchan
+            key = (int(t), int(c0), int(hdr.pol0))
             if t >= g:  # early packet for a future gulp: stash it
                 if t >= g * (self._MAX_PENDING_GULPS + 1):
                     continue
@@ -342,15 +366,20 @@ class UdpSnap2Source:
                 pend = self._pending.get(base)
                 if pend is None:
                     pend = self._pending[base] = np.zeros_like(buf)
+                    self._filled[base] = set()
+                if key in self._filled[base]:
+                    continue  # duplicate
+                self._filled[base].add(key)
                 pend[t - (base - seq_start), c0:c0 + hdr.nchan,
                      hdr.pol0:hdr.pol0 + hdr.npol] = payload
-                self._filled[base] = self._filled.get(base, 0) + 1
                 self.ngood_bytes += payload.nbytes
                 continue
+            if key in landed:
+                continue  # duplicate
+            landed.add(key)
             buf[t, c0:c0 + hdr.nchan,
                 hdr.pol0:hdr.pol0 + hdr.npol] = payload
             self.ngood_bytes += payload.nbytes
-            got += 1
-        if expected is not None and got < expected:
-            self.nmissing += expected - got
+        if expected is not None and len(landed) < expected:
+            self.nmissing += expected - len(landed)
         return buf

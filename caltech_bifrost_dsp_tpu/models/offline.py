@@ -64,8 +64,13 @@ def compute_offline_weights(cfg: OfflineBeamConfig, freqs_hz: np.ndarray,
                                            t_unix, cfg.lat_deg,
                                            cfg.lon_deg)
         delays_s = skycoords.geometric_delays_s(cfg.enz_positions, az, alt)
-        wdel = np.repeat(taper * delays_s, npol)          # [nstand*npol]
-        w = np.exp(2j * np.pi * freqs_hz[:, None] * wdel[None, :])
+        # amplitude taper multiplies the WEIGHT, never the delay: taper
+        # inside the exponential leaves |w|==1 (no attenuation) and
+        # mis-points the tapered antenna's phase instead
+        wdel = np.repeat(delays_s, npol)                  # [nstand*npol]
+        amp = np.repeat(taper, npol)
+        w = amp[None, :] * np.exp(
+            2j * np.pi * freqs_hz[:, None] * wdel[None, :])
         if cfg.cal_gains is not None:
             # cal_gains: complex [nchan_fine, nstand*npol]
             w = w * cfg.cal_gains
@@ -124,7 +129,16 @@ def upchan_beamform_run(voltages_packed: np.ndarray, cfg: OfflineBeamConfig,
     freqs = freqs.reshape(-1)
     weights = jnp.asarray(compute_offline_weights(cfg, freqs, t_unix))
     outputs = []
+    next_update = cfg.ntimestep  # samples between weight updates
     for g0 in range(0, ntime - gulp_ntime + 1, gulp_ntime):
+        if g0 >= next_update:
+            # track sky rotation across a long replay: recompute the
+            # geometric weights every ntimestep samples (the reference
+            # BfOfflineWeightsBlock's update cadence) — one spectrum =
+            # 1/chan_bw seconds of sky time
+            weights = jnp.asarray(compute_offline_weights(
+                cfg, freqs, t_unix + g0 / chan_bw_hz))
+            next_update = g0 + cfg.ntimestep
         gulp = unpack_complex_np(voltages_packed[g0:g0 + gulp_ntime])
         fine = upchannelize_gulp(jnp.asarray(gulp), nup)
         beams = apply_weights_and_sum(fine, weights)  # [T', nbeam, F]
