@@ -53,6 +53,8 @@ def load():
         os.close(fd)
         shutil.copy2(_LIB_PATH, tmp)
         lib = _configure(ctypes.CDLL(tmp))
+        os.unlink(tmp)  # the dlopen mapping survives unlink on Linux;
+        # without this the temp copy leaks one file per invocation
     _lib = lib
     return lib
 

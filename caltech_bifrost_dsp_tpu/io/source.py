@@ -358,7 +358,11 @@ class UdpSnap2Source:
             if t < 0:
                 continue  # stale packet from an already-emitted gulp
             c0 = hdr.chan_block_id * hdr.nchan
-            key = (int(t), int(c0), int(hdr.pol0))
+            # key is relative to the packet's OWNING gulp (t % g), not the
+            # current seq_start: a stashed key must match the key the same
+            # region gets once that gulp becomes current, or duplicates
+            # crossing a gulp boundary double-count and end assembly early
+            key = (int(t % g), int(c0), int(hdr.pol0))
             if t >= g:  # early packet for a future gulp: stash it
                 if t >= g * (self._MAX_PENDING_GULPS + 1):
                     continue

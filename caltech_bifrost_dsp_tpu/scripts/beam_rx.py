@@ -100,7 +100,11 @@ def stats_loop(sock, npkts: int | None, interval: int = 100000,
         packet_cnt += 1
         if not packets_per_server:
             packets_per_server = [0] * hdr.nserver
-        packets_per_server[hdr.server - 1] += 1
+        # server is 1-based on the wire; don't trust it: server=0 would
+        # silently increment index -1 and server>nserver would raise and
+        # kill the monitoring loop on one malformed packet
+        if 1 <= hdr.server <= len(packets_per_server):
+            packets_per_server[hdr.server - 1] += 1
         if packet_cnt % interval == 0:
             print(time.ctime(), "packets_per_server:", packets_per_server)
         if stats_only:

@@ -27,6 +27,10 @@ constexpr int kBatch = 64;          // recvmmsg batch
 constexpr int kMaxPkt = 65536;      // UDP max (loopback / GRO paths can
                                     // exceed the 9k jumbo-frame size)
 
+// consecutive backward packets required before a resync wipes the ring
+// (both front ends funnel through cbd_capture_process_locked)
+constexpr int kBackwardHysteresis = 4;
+
 }  // namespace
 
 // Zero every packet region whose landing bit is unset (bitmap-mode hole
@@ -134,8 +138,9 @@ void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
   if (c->last_seq >= 0 &&
       (seq < c->last_seq - c->ntime_gulp ||
        seq > c->last_seq + 4 * c->ntime_gulp)) {
-    c->nseq.fetch_add(1, std::memory_order_relaxed);
     if (seq > c->last_seq + 4 * c->ntime_gulp) {
+      c->backward_streak = 0;
+      c->nseq.fetch_add(1, std::memory_order_relaxed);
       // record the void so the consumer skips it after draining the
       // still-unread pre-gap gulps.  A SECOND break before the first
       // void was consumed extends the existing window to the newest
@@ -148,8 +153,18 @@ void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
       // BACKWARD jump: the transmitter restarted at a lower sequence
       // (FPGA resync).  The emit cursor must rewind or every packet
       // of the new stream is "too late" and the capture goes
-      // permanently deaf.  Drop unemitted old-stream slots and
-      // relearn the cursor from this packet.
+      // permanently deaf.  But a SINGLE backward packet can also be a
+      // reordered/duplicated straggler or one spoofed datagram —
+      // wiping the ring for it would cost up to nbuf in-flight gulps.
+      // Hysteresis: only resync after kBackwardHysteresis consecutive
+      // backward packets (a genuine restart delivers thousands per
+      // second); isolated stragglers are dropped as late, as the
+      // pre-rewind engine always did.
+      if (++c->backward_streak < kBackwardHysteresis) return;
+      c->backward_streak = 0;
+      c->nseq.fetch_add(1, std::memory_order_relaxed);
+      // Drop unemitted old-stream slots and relearn the cursor from
+      // this packet.
       for (auto &sl : c->slots) {
         if (sl.gulp_id >= 0 && !sl.ready && sl.npkt > 0 &&
             c->expected_pkts_per_gulp > sl.npkt)
@@ -167,6 +182,8 @@ void cbd_capture_process_locked(CbdCapture *c, const uint8_t *pkt,
       c->highest_gulp = -1;
       c->skip_from = c->skip_to = -1;
     }
+  } else {
+    c->backward_streak = 0;  // in-order packet ends any straggler run
   }
   if (c->last_seq < 0) c->nseq.fetch_add(1, std::memory_order_relaxed);
   c->last_seq = seq;

@@ -46,6 +46,9 @@ struct CbdCapture {
   std::atomic<uint64_t> ngood_bytes{0}, npkt{0}, nmissing{0}, nseq{0};
   int64_t last_seq = -1;
   int64_t skip_from = -1, skip_to = -1;  // gap to jump over on emission
+  int backward_streak = 0;  // consecutive backward packets seen (resync
+                            // hysteresis: one late straggler or spoofed
+                            // datagram must not wipe the slot ring)
 
   std::thread rx;
   std::atomic<bool> running{false};

@@ -99,6 +99,39 @@ def test_udp_source_duplicates_do_not_fake_completion():
     assert np.all(buf[: g - 1] == 0x11)
 
 
+def test_udp_source_boundary_duplicate_does_not_fake_completion():
+    """A packet stashed for the NEXT gulp and its duplicate arriving
+    once that gulp is current must dedup against the SAME key.
+    Previously the stash key was relative to the stashing seq_start
+    (t in [g,2g)) while the post-pop duplicate got a [0,g) key, so the
+    dup double-counted, assembly exited early, and a genuine loss in
+    the same gulp went unrecorded with its region silently zero."""
+    port = 19795
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", port))
+    src = source.UdpSnap2Source(CFG, rx, timeout_s=1.0)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    dst = ("127.0.0.1", port)
+    g = CFG.ntime_gulp
+    # early packet for gulp 1 first, so gulp-0 assembly stashes it
+    tx.sendto(_snap_pkt(g, 0, 0, CFG.nchan, CFG.ninput, 0x22), dst)
+    for t in range(g):
+        tx.sendto(_snap_pkt(t, 0, 0, CFG.nchan, CFG.ninput, 0x11), dst)
+    buf0 = src.capture_gulp(0)
+    assert np.all(buf0 == 0x11)
+    # gulp 1: a DUPLICATE of the stashed packet, the middle times, and
+    # the final time sample genuinely lost
+    tx.sendto(_snap_pkt(g, 0, 0, CFG.nchan, CFG.ninput, 0x22), dst)
+    for t in range(g + 1, 2 * g - 1):
+        tx.sendto(_snap_pkt(t, 0, 0, CFG.nchan, CFG.ninput, 0x22), dst)
+    buf1 = src.capture_gulp(g)
+    rx.close()
+    tx.close()
+    assert src.nmissing == 1           # the loss is recorded...
+    assert np.all(buf1[g - 1] == 0)    # ...and its region stays zero
+    assert np.all(buf1[: g - 1] == 0x22)
+
+
 def test_udp_source_prunes_skipped_stashes():
     """Stashed future-gulp buffers for bases the caller skips past must
     be pruned (previously they leaked forever across resyncs)."""

@@ -564,6 +564,54 @@ def test_backward_resync_recovers():
     assert stats["nseq"] >= 2
 
 
+def test_single_backward_straggler_does_not_resync():
+    """ONE reordered/duplicated/spoofed backward packet must not wipe
+    the slot ring: resync now requires a streak of consecutive backward
+    packets (hysteresis).  Previously a single straggler rewound the
+    emit cursor, dropped up to nbuf in-flight gulps and reopened a
+    forward skip window on the next in-order packet."""
+    import socket
+
+    from caltech_bifrost_dsp_tpu.io import packets as pk
+
+    port = PORT + 37
+    cap = native.NativeCapture(CFG, "127.0.0.1", port, nbuf=8)
+    cap.start()
+    rng = np.random.RandomState(11)
+    data = rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]
+                       ).astype(np.uint8)
+    high = 10_000 * CFG.ntime_gulp
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for g in range(4):
+        native.transmit_gulp("127.0.0.1", port, data,
+                             seq0=high + g * CFG.ntime_gulp,
+                             nchan_per_pkt=16, npol_per_pkt=8)
+        if g == 1:
+            # one backward straggler mid-stream, matching the learned
+            # packet geometry so it is judged by the resync rule (not
+            # rejected by the geometry guards)
+            hdr = pk.Snap2Header(seq=5, npol=8, npol_tot=CFG.ninput,
+                                 nchan=16, nchan_tot=CFG.nchan,
+                                 chan_block_id=0, chan0=0, pol0=0)
+            tx.sendto(pk.encode_snap2(hdr, np.zeros((16, 8), np.uint8)),
+                      ("127.0.0.1", port))
+    got = []
+    for _ in range(4):
+        seq0, d = cap.get_gulp(timeout_s=5.0)
+        if seq0 is None:
+            break
+        got.append(seq0)
+        np.testing.assert_array_equal(d, data)
+    stats = cap.stats()
+    cap.close()
+    tx.close()
+    # the high stream flows uninterrupted and losslessly; the straggler
+    # was dropped as late instead of triggering a resync
+    assert got == [high + g * CFG.ntime_gulp for g in range(4)]
+    assert stats["nseq"] == 1
+    assert stats["nmissing"] == 0
+
+
 def test_nbuf_one_is_clamped_and_lossless():
     """nbuf<=1 previously derived lead<=0 and emitted gulps while their
     packets were still arriving (near-total loss)."""
