@@ -45,15 +45,22 @@ def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
         c.start()
     got = [0] * len(ports)
 
-    def tx(port):
+    tx_secs = [0.0] * len(ports)
+    tx_npkt = [0] * len(ports)
+
+    def tx(k, port):
         # one native call for the whole stream: a single socket and a
         # single absolute pacing deadline (no per-gulp interpreter
         # round trip), so the offered rate tracks delay_ns closely even
-        # with multiple in-process blasters
-        native.transmit_stream(
+        # with multiple in-process blasters.  Per-port TX timing is
+        # recorded so callers can tell a pacing slip (TX threads
+        # starved by the host) from a capture-path stall.
+        t0 = time.perf_counter()
+        tx_npkt[k] = native.transmit_stream(
             "127.0.0.1", port, data, ngulp,
             nchan_per_pkt=64, npol_per_pkt=cfg.ninput,
             delay_ns=delay_ns)
+        tx_secs[k] = time.perf_counter() - t0
 
     def consume(i):
         while got[i] < ngulp:
@@ -65,7 +72,8 @@ def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
             got[i] += 1
 
     t0 = time.perf_counter()
-    txs = [threading.Thread(target=tx, args=(p,)) for p in ports]
+    txs = [threading.Thread(target=tx, args=(k, p))
+           for k, p in enumerate(ports)]
     rxs = [threading.Thread(target=consume, args=(i,))
            for i in range(len(ports))]
     for t in txs + rxs:
@@ -79,8 +87,14 @@ def run_engines(cfg, ports, data, ngulp: int, delay_ns: int,
         c.close()
     nmissing = sum(s["nmissing"] for s in stats)
     npkt = sum(s["npkt"] for s in stats)
+    # rate the blasters ACTUALLY delivered (payload bytes; headers are
+    # excluded on both TX and RX sides so the rates compare 1:1)
+    payload = 64 * cfg.ninput
+    tx_gbps = sum(8 * n * payload / max(s, 1e-9) / 1e9
+                  for n, s in zip(tx_npkt, tx_secs))
     return {"dt": dt, "ngot": sum(got), "nmissing": nmissing,
-            "npkt": npkt, "per_engine_gulps": got}
+            "npkt": npkt, "per_engine_gulps": got,
+            "tx_gbps": tx_gbps}
 
 
 def main(argv=None) -> int:

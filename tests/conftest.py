@@ -10,7 +10,11 @@ import os
 # Force CPU: the session env may point JAX_PLATFORMS at the real TPU
 # tunnel, but tests must run on the virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable axon sitecustomize
+# disable the axon sitecustomize, but remember the tunnel address so
+# env-gated ON-CHIP tests (CBD_TPU_PARITY=1) can hand it to a subprocess
+_axon = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if _axon:
+    os.environ["CBD_SAVED_AXON_POOL_IPS"] = _axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
