@@ -77,6 +77,8 @@ def _configure(lib):
                                          ctypes.c_double]
     lib.cbd_capture_stats.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint64)] * 4
+    lib.cbd_capture_xdp_sg.restype = ctypes.c_int
+    lib.cbd_capture_xdp_sg.argtypes = [ctypes.c_void_p]
     lib.cbd_capture_stop.argtypes = [ctypes.c_void_p]
     lib.cbd_capture_destroy.argtypes = [ctypes.c_void_p]
     lib.cbd_transmit_gulp.restype = ctypes.c_int64
@@ -161,6 +163,15 @@ class NativeCapture:
     def start(self):
         if self._lib.cbd_capture_start(self._h) != 0:
             raise RuntimeError("capture already started")
+
+    @property
+    def xdp_multibuffer(self) -> bool:
+        """True when the AF_XDP front end bound with XDP_USE_SG, i.e.
+        packets larger than one 4 KB UMEM chunk — the production
+        6272 B snap2 payloads (lwa352-pipeline.py:177) — are carried
+        (reassembled from fragments).  False for the recvmmsg engine
+        or a single-buffer bind on a pre-6.6 kernel."""
+        return bool(self._lib.cbd_capture_xdp_sg(self._h))
 
     def get_gulp(self, timeout_s: float = 5.0):
         """Returns (seq0, gulp [ntime, chan, input] view) or

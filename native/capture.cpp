@@ -393,6 +393,14 @@ int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
   }
 }
 
+// 1 when the AF_XDP front end bound with multi-buffer (XDP_USE_SG):
+// packets larger than one UMEM chunk — the production 6272 B snap2
+// payloads — are reassembled from fragments.  0 for the recvmmsg
+// front end or a single-buffer XDP bind.
+int cbd_capture_xdp_sg(CbdCapture *c) {
+  return c && c->xsk ? cbd_xsk_sg(c->xsk) : 0;
+}
+
 void cbd_capture_stats(CbdCapture *c, uint64_t *ngood_bytes,
                        uint64_t *npkt, uint64_t *nmissing,
                        uint64_t *nseq) {

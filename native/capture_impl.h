@@ -80,5 +80,7 @@ void cbd_capture_zero_holes(const CbdCapture *c, uint8_t *data,
 CbdXsk *cbd_xsk_create(const char *ifname, int queue_id, int port);
 void cbd_xsk_rx_loop(CbdCapture *c);
 void cbd_xsk_destroy(CbdXsk *x);
+int cbd_xsk_sg(const CbdXsk *x);  // 1 when multi-buffer (XDP_USE_SG)
+                                  // bound: jumbo snap2 frames carried
 
 #endif  // CBD_CAPTURE_IMPL_H_

@@ -64,6 +64,12 @@ int cbd_capture_start(CbdCapture *c);
 int64_t cbd_capture_get_gulp(CbdCapture *c, uint8_t *out,
                              double timeout_s);
 
+/* 1 when the AF_XDP front end bound with multi-buffer (XDP_USE_SG):
+ * packets larger than one UMEM chunk (the production 6272 B snap2
+ * payloads) are reassembled from fragments.  0 for the recvmmsg front
+ * end or a single-buffer XDP bind on an older kernel. */
+int cbd_capture_xdp_sg(CbdCapture *c);
+
 /* Counters: good payload bytes, packets received, packets missing in
  * emitted gulps, sequence-start count. */
 void cbd_capture_stats(CbdCapture *c, uint64_t *ngood_bytes,

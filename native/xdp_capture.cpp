@@ -19,11 +19,16 @@
 //     works on loopback and veth; on a physical NIC the kernel picks
 //     driver mode when available)
 //
-// Limits recorded honestly: UMEM chunks are capped at the page size
-// (4096 B), so frames larger than ~3.8 KB need the kernel's XDP
-// multi-buffer mode (not used here).  The production snap2 geometry
-// can choose packet sizes under this cap (e.g. 32 chans x 64 pols +
-// header); the recvmmsg engine remains the default for jumbo frames.
+// UMEM chunks are capped at the page size (4096 B); packets larger
+// than one chunk — the production snap2 wire is 6272 B of UDP payload
+// (96 chans x 64 pols + 128 B header, reference:
+// pipeline/scripts/lwa352-pipeline.py:177) — use the kernel's XDP
+// multi-buffer mode: the socket binds with XDP_USE_SG, the filter
+// program is loaded frags-aware (BPF_F_XDP_HAS_FRAGS), and RX
+// descriptors carrying XDP_PKT_CONTD are reassembled here before
+// snap2 processing.  On kernels without multi-buffer the bind falls
+// back to single-buffer (sg=false, queryable via cbd_capture_xdp_sg)
+// and the recvmmsg engine carries jumbo frames.
 
 #include "capture_impl.h"
 
@@ -38,6 +43,18 @@
 #include <sys/socket.h>
 #include <sys/syscall.h>
 #include <unistd.h>
+
+// multi-buffer ABI constants (kernel >= 6.6); the distro headers may
+// predate them
+#ifndef XDP_USE_SG
+#define XDP_USE_SG (1 << 4)
+#endif
+#ifndef XDP_PKT_CONTD
+#define XDP_PKT_CONTD (1 << 0)
+#endif
+#ifndef BPF_F_XDP_HAS_FRAGS
+#define BPF_F_XDP_HAS_FRAGS (1U << 5)
+#endif
 
 namespace {
 
@@ -73,9 +90,18 @@ struct CbdXsk {
   Ring fill, rx;
   uint32_t fill_cached_prod = 0;
   uint32_t rx_cached_cons = 0;
+  bool sg = false;             // multi-buffer (XDP_USE_SG) active
+  // multi-frag packet reassembly (descriptors of one packet are
+  // posted contiguously by the kernel)
+  std::vector<uint8_t> frag_buf;
+  bool assembling = false;
+  bool frag_overflow = false;
 };
 
-static int load_filter_prog(int map_fd, uint16_t port_be) {
+int cbd_xsk_sg(const CbdXsk *x) { return x && x->sg ? 1 : 0; }
+
+static int load_filter_prog(int map_fd, uint16_t port_be,
+                            bool frags_aware) {
   // XDP program:
   //   if frame is IPv4/UDP to `port` -> bpf_redirect_map(xskmap,
   //   ctx->rx_queue_index, XDP_PASS)  else XDP_PASS
@@ -119,6 +145,10 @@ static int load_filter_prog(int map_fd, uint16_t port_be) {
   attr.insn_cnt = sizeof(insns) / sizeof(insns[0]);
   attr.insns = (uint64_t)insns;
   attr.license = (uint64_t) "GPL";
+  // frags-aware: multi-buffer packets reach the program instead of
+  // being dropped before it (the filter only reads the first 42 bytes
+  // with an explicit bounds check, so fragmentation is safe)
+  if (frags_aware) attr.prog_flags = BPF_F_XDP_HAS_FRAGS;
   return (int)sys_bpf(BPF_PROG_LOAD, &attr, sizeof(attr));
 }
 
@@ -183,8 +213,17 @@ CbdXsk *cbd_xsk_create(const char *ifname, int queue_id, int port) {
     sxdp.sxdp_family = AF_XDP;
     sxdp.sxdp_ifindex = ifindex;
     sxdp.sxdp_queue_id = (uint32_t)queue_id;
-    sxdp.sxdp_flags = XDP_COPY;  // generic/SKB path: works on lo/veth
-    if (bind(x->fd, (sockaddr *)&sxdp, sizeof(sxdp))) break;
+    // generic/SKB copy path (works on lo/veth) + multi-buffer so the
+    // production 6272 B snap2 payloads fit; kernels without XDP_USE_SG
+    // reject the flag -> retry single-buffer (jumbo frames then need
+    // the recvmmsg engine)
+    sxdp.sxdp_flags = XDP_COPY | XDP_USE_SG;
+    if (bind(x->fd, (sockaddr *)&sxdp, sizeof(sxdp)) == 0) {
+      x->sg = true;
+    } else {
+      sxdp.sxdp_flags = XDP_COPY;
+      if (bind(x->fd, (sockaddr *)&sxdp, sizeof(sxdp))) break;
+    }
 
     union bpf_attr mattr{};
     mattr.map_type = BPF_MAP_TYPE_XSKMAP;
@@ -203,7 +242,11 @@ CbdXsk *cbd_xsk_create(const char *ifname, int queue_id, int port) {
     uattr.value = (uint64_t)&val32;
     if (sys_bpf(BPF_MAP_UPDATE_ELEM, &uattr, sizeof(uattr))) break;
 
-    x->prog_fd = load_filter_prog(x->map_fd, htons((uint16_t)port));
+    x->prog_fd = load_filter_prog(x->map_fd, htons((uint16_t)port),
+                                  x->sg);
+    if (x->prog_fd < 0 && x->sg)  // kernel without prog_flags support
+      x->prog_fd = load_filter_prog(x->map_fd, htons((uint16_t)port),
+                                    false);
     if (x->prog_fd < 0) break;
     union bpf_attr lattr{};
     lattr.link_create.prog_fd = x->prog_fd;
@@ -256,6 +299,27 @@ void cbd_xsk_rx_loop(CbdCapture *c) {
       for (uint32_t i = 0; i < n; i++) {
         const xdp_desc &d = rxd[(cons + i) & (kRingSize - 1)];
         const uint8_t *frame = (const uint8_t *)x->umem + d.addr;
+        bool contd = (d.options & XDP_PKT_CONTD) != 0;
+        if (x->assembling || contd) {
+          // multi-buffer packet: the kernel posts its fragments as
+          // consecutive descriptors, all but the last flagged CONTD.
+          // Reassemble (bounded), then process the payload once.
+          if (x->frag_buf.size() + d.len <= 65536)
+            x->frag_buf.insert(x->frag_buf.end(), frame, frame + d.len);
+          else
+            x->frag_overflow = true;  // poison: drop at completion
+          if (contd) {
+            x->assembling = true;
+            continue;
+          }
+          x->assembling = false;
+          if (!x->frag_overflow && x->frag_buf.size() > 42)
+            cbd_capture_process_locked(c, x->frag_buf.data() + 42,
+                                       x->frag_buf.size() - 42);
+          x->frag_buf.clear();
+          x->frag_overflow = false;
+          continue;
+        }
         // eth(14) + ipv4(20) + udp(8): the BPF filter guaranteed the
         // layout; the UDP payload is the snap2 datagram
         if (d.len > 42)
