@@ -42,6 +42,60 @@ pytestmark = [
 CFG = cfgmod.TINY  # gulp 48, acc 240 (5 gulps), slow 480
 CAP_PORT = 19850
 
+#: Machine-readable soak evidence (VERDICT r4 #5): duration, gulps,
+#: loss, resync count, dump counts, and the sampled RSS trajectory per
+#: leg, written every CBD_SOAK run.
+_SOAK_ARTIFACT = os.environ.get(
+    "CBD_SOAK_ARTIFACT",
+    os.path.join(os.path.dirname(__file__), "..", "SOAK_r05.json"))
+
+
+def _record_soak(leg: str, rec: dict):
+    import json
+
+    path = os.path.abspath(_SOAK_ARTIFACT)
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {}
+    rec["time_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    doc[leg] = rec
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.replace(tmp, path)
+
+
+class _RssSampler:
+    """Samples current RSS (MB, /proc/self/statm) every few seconds —
+    the artifact's memory trajectory (ru_maxrss only gives high-water)."""
+
+    def __init__(self, period_s: float = 5.0):
+        self.period_s = period_s
+        self.samples: list = []
+        self._stop = False
+        self._page = os.sysconf("SC_PAGESIZE")
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def _rss_mb(self) -> float:
+        with open("/proc/self/statm") as fh:
+            return int(fh.read().split()[1]) * self._page / 1e6
+
+    def _loop(self):
+        t0 = time.monotonic()
+        while not self._stop:
+            self.samples.append([round(time.monotonic() - t0, 1),
+                                 round(self._rss_mb(), 1)])
+            time.sleep(self.period_s)
+
+    def stop(self) -> list:
+        self._stop = True
+        self.thread.join(timeout=5)
+        return self.samples
+
 FX_CFG = cfgmod.XEngineConfig(
     nstand=8, nchan=16, ntime_gulp=48, acc_len=240, acc_len_slow=240,
     nbeam=2, ntime_sum=12, nchan_sum=4, pfb_ntap=4, adc_dtype="int8",
@@ -99,6 +153,8 @@ def test_soak_full_system(tmp_path):
     n_b = max(ngulp_total - n_a, n_b_min)
     gap_gulps = 1000                  # large jump -> capture fast-forwards
 
+    rss = _RssSampler()
+    t_run0 = time.monotonic()
     rxs = {name: _CountRx(CAP_PORT + 1 + i)
            for i, name in enumerate(("corr", "part", "pbeam", "ibeam"))}
     store = MemoryStore()
@@ -163,6 +219,21 @@ def test_soak_full_system(tmp_path):
     for rx in rxs.values():
         rx.stop()
 
+    rss_end = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rec = {"requested_duration_s": duration,
+           "actual_duration_s": round(time.monotonic() - t_run0, 1),
+           "rate_gulps_per_s": rate, "ngulp": n_a + n_b,
+           "segment_a_gulps": n_a, "segment_b_gulps": n_b,
+           "nmissing": int(stats["nmissing"]),
+           "nseq": int(stats["nseq"]),
+           "ndump_fast": int(pipe.ndump_fast),
+           "wire_packets": {k: rx.count for k, rx in rxs.items()},
+           "rss_warm_highwater_mb": round(state["rss_mid"] / 1024.0, 1),
+           "rss_end_highwater_mb": round(rss_end / 1024.0, 1),
+           "rss_trajectory_s_mb": rss.stop(),
+           "pass": False}
+    _record_soak("xb_leg", rec)
+
     # 1. ingest: no loss within either segment (the commanded break is
     #    a resync, not loss) and the break started a new sequence
     assert stats["nmissing"] == 0, stats
@@ -219,6 +290,10 @@ def test_soak_full_system(tmp_path):
     assert state["rss_mid"] > 0
     assert growth_mb < 300.0, f"RSS high-water grew {growth_mb:.0f} MB"
 
+    rec["rss_growth_mb"] = round(growth_mb, 1)
+    rec["pass"] = True
+    _record_soak("xb_leg", rec)
+
 
 def test_soak_fx_mode(tmp_path):
     """North-star-config soak: int8 ADC tone frames over real UDP into
@@ -238,6 +313,8 @@ def test_soak_fx_mode(tmp_path):
     n_b = max(ngulp_total - n_a, n_b_min)
     gap_gulps = 1000
 
+    rss = _RssSampler()
+    t_run0 = time.monotonic()
     rx = _CountRx(FX_PORT + 1)
 
     class _Grab:
@@ -310,14 +387,29 @@ def test_soak_fx_mode(tmp_path):
     time.sleep(1.5)
     rx.stop()
 
+    rss_end_hw = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    gap_base = (n_a + gap_gulps) * cfg.ntime_gulp
+    pre = [d for s, d in grab.dumps if s < n_a * cfg.ntime_gulp]
+    post = [d for s, d in grab.dumps if s >= gap_base]
+    rec = {"requested_duration_s": duration,
+           "actual_duration_s": round(time.monotonic() - t_run0, 1),
+           "rate_gulps_per_s": rate, "ngulp": n_a + n_b,
+           "segment_a_gulps": n_a, "segment_b_gulps": n_b,
+           "nmissing": int(stats["nmissing"]),
+           "nseq": int(stats["nseq"]),
+           "ndumps_pre_break": len(pre), "ndumps_post_break": len(post),
+           "wire_packets": rx.count,
+           "rss_warm_highwater_mb": round(state["rss_mid"] / 1024.0, 1),
+           "rss_end_highwater_mb": round(rss_end_hw / 1024.0, 1),
+           "rss_trajectory_s_mb": rss.stop(),
+           "pass": False}
+    _record_soak("fx_leg", rec)
+
     assert stats["nmissing"] == 0, stats
     assert stats["nseq"] >= 2, stats
     assert rx.count > 0, "no corr packets on the wire"
 
     # dumps from both segments, tone in channel TONE on each side
-    gap_base = (n_a + gap_gulps) * cfg.ntime_gulp
-    pre = [d for s, d in grab.dumps if s < n_a * cfg.ntime_gulp]
-    post = [d for s, d in grab.dumps if s >= gap_base]
     assert pre, "no pre-break dump"
     assert post, ("no post-break dump (recovery margin not cleared "
                   f"within segment B: {len(grab.dumps)} dumps)")
@@ -330,3 +422,7 @@ def test_soak_fx_mode(tmp_path):
     growth_mb = (rss_end - state["rss_mid"]) / 1024.0
     assert state["rss_mid"] > 0
     assert growth_mb < 300.0, f"RSS high-water grew {growth_mb:.0f} MB"
+
+    rec["rss_growth_mb"] = round(growth_mb, 1)
+    rec["pass"] = True
+    _record_soak("fx_leg", rec)
