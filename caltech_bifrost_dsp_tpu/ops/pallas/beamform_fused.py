@@ -137,9 +137,19 @@ def _make_kernel(nbeam: int, ntime_sum: int, ts: int,
             xyr = xr_b * yr_b + xi_b * yi_b
             xyi = xi_b * yr_b - xr_b * yi_b
             comp = jnp.concatenate([xx, yy, xyr, xyi], axis=0)
-            # ntime_sum integration as a [4nb2, ts] x [ts, ntb] matmul
-            seg = dot(comp, seg_ref[:],
-                      dnn=(((1,), (0,)), ((), ())))  # [4nb2, ntb]
+            # ntime_sum integration as a [4nb2, ts] x [ts, ntb] matmul.
+            # HIGHEST precision is REQUIRED here: Mosaic's DEFAULT
+            # rounds f32 MXU operands to one bf16 pass, and comp's
+            # |v|^2 values reach ~2^35 at production scale, so a bf16
+            # seg pass loses ~2^-9 relative per element — measured
+            # rel err up to ~3 vs the float64 truth where the XY cross
+            # terms cancel (caught ON CHIP by scripts/tpu_parity.py;
+            # interpret mode computes exact f32 and hid it).  The
+            # voltage dots above are unaffected (bf16 inputs, exact).
+            seg = jax.lax.dot_general(
+                comp, seg_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [4nb2, ntb]
             pw_ref[0, 0] = seg
 
     return kernel
