@@ -68,6 +68,10 @@ def main(argv=None) -> int:
                         "(v5e: 4 ALUs x 8x128 lanes x 940 MHz)")
     p.add_argument("--stages", default="",
                    help="comma-separated subset to run")
+    p.add_argument("--pfb-chunks", type=int, default=1,
+                   help="pipeline_chunks for the fused PFB stages "
+                        "(VERDICT r4 #2 VPU/MXU overlap A/B; "
+                        "bit-identical)")
     args = p.parse_args(argv)
 
     from ..config import LWA352
@@ -183,20 +187,21 @@ def main(argv=None) -> int:
     def probe_vis(v):
         return jnp.sum(v.real[0, 0, :8]) + jnp.sum(v.imag[0, 1, :8])
 
+    nc = args.pfb_chunks
     stages = {
         "pfb_fused_bf16": (
             jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
-                a, w, C, ntap, 0.5, fast=True)),
+                a, w, C, ntap, 0.5, fast=True, pipeline_chunks=nc)),
             (adc, window),
             jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
         "pfb_fused_high": (
             jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
-                a, w, C, ntap, 0.5, fast=False)),
+                a, w, C, ntap, 0.5, fast=False, pipeline_chunks=nc)),
             (adc, window),
             jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
         "pfb_fused_bf16_int8": (
             jax.jit(lambda a, w: pfb_fused.pfb_quantize_packed_pallas(
-                a, w, C, ntap, 0.5, fast=True)),
+                a, w, C, ntap, 0.5, fast=True, pipeline_chunks=nc)),
             (jnp.asarray(np.clip(np.rint(np.asarray(adc) * 10),
                                  -127, 127).astype(np.int8)), window),
             jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)[0, :8, 0]))),
