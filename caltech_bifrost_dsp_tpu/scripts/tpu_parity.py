@@ -17,6 +17,14 @@ plus a toleranced power-beam check (rtol 1e-4 vs a float64 host
 reference — the power stage rounds |v|^2 in f32, so exactness is not
 the spec there).
 
+An FX leg (:func:`run_fx`, skip with ``--no-fx``) additionally proves
+the fused Pallas channelizer on real Mosaic at the production kernel
+geometry: int8 ADC input bit-identical to f32, the software-pipelined
+``pipeline_chunks`` schedule bit-identical to straight-line, and the
+high/bf16 packed products against a float64-input host PFB
+(>=99.9%/>=99.5% byte-identical, off-by-<=1-LSB elsewhere —
+test_pfb_precision.py conventions).
+
 Golden side: the reference's shipped test-vector tarballs
 (reference: pipeline/verification/test_vectors/
 in_7200t_{192,184}c_352s_2p_deadbeef.dat.tar.gz) are deterministic
@@ -308,6 +316,101 @@ def run_geometry(nchan: int, ntime: int, nstand: int, art: dict,
     return ok
 
 
+def run_fx(art: dict, nspec: int = 600, nchan: int = 192,
+           ninput: int = 704, ntap: int = 4, tiny: bool = False) -> bool:
+    """FX-leg on-chip parity: the fused Pallas channelizer at the
+    production kernel geometry (192 chan, 704 inputs, ts=120/ti=32
+    int8 tiling — the tiles bench_fx measures) against a float64-input
+    host PFB, plus the two bit-identity claims the CPU suite can only
+    prove in interpret mode:
+
+      * int8 ADC input produces BIT-IDENTICAL packed bytes to the same
+        values fed as f32 (the ``adc_dtype="int8"`` production claim),
+        on real Mosaic;
+      * the ``pipeline_chunks`` software-pipelined schedule is
+        BIT-IDENTICAL to the straight-line kernel, on real Mosaic;
+
+    and the precision-class gates vs the host reference
+    (test_pfb_precision.py conventions): "high" packed bytes >=99.9%
+    identical / off-by-<=1-LSB elsewhere, "bf16" >=99.5% / <=1 LSB.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pfb as pfb_ops
+    from ..ops.pallas.pfb_fused import pfb_quantize_packed_pallas
+
+    t0 = time.time()
+    if tiny:
+        nspec, nchan, ninput = 48, 32, 16
+    L = 2 * nchan
+    interp = tiny and jax.default_backend() == "cpu"
+    rng = np.random.RandomState(0xF0)
+    t = np.arange((nspec + ntap - 1) * L)
+    scene = (10.0 * rng.standard_normal([t.size, ninput])
+             + 60.0 * np.cos(2 * np.pi * (min(100, nchan - 2) / L)
+                             * t[:, None])).astype(np.float32)
+    adc_i8 = np.clip(np.rint(scene), -127, 127).astype(np.int8)
+    adc_f32 = adc_i8.astype(np.float32)
+    w = pfb_ops.pfb_window(nchan, ntap)
+
+    # float64-input host reference -> shared quantization rule
+    ref = pfb_ops.pfb_reference_np(adc_f32.astype(np.float64),
+                                   np.asarray(w, np.float64), nchan, ntap)
+    ref = np.moveaxis(ref, 2, 0)            # [ninput, nspec, nchan]
+    scale = float(7.0 / np.abs(ref).max())
+
+    def host_pack(z):
+        r = np.clip(np.round(z.real * scale), -8, 7).astype(np.int32)
+        i = np.clip(np.round(z.imag * scale), -8, 7).astype(np.int32)
+        return (((r & 0xF) << 4) | (i & 0xF)).astype(np.uint8)
+
+    ref_pk = host_pack(ref)
+
+    def chip(x, fast, chunks=1):
+        out = pfb_quantize_packed_pallas(
+            jnp.asarray(x), jnp.asarray(w), nchan, ntap, scale,
+            fast=fast, pipeline_chunks=chunks, interpret=interp)
+        return np.asarray(jax.device_get(out))
+
+    def nibble_cmp(a, b):
+        def unpack(z):
+            z = z.astype(np.int32)
+            return ((((z >> 4) & 0xF) ^ 8) - 8, ((z & 0xF) ^ 8) - 8)
+
+        ar, ai = unpack(a)
+        br, bi = unpack(b)
+        same = float(np.mean(a == b))
+        max_lsb = int(max(np.abs(ar - br).max(), np.abs(ai - bi).max()))
+        return same, max_lsb
+
+    rec = {"nspec": nspec, "nchan": nchan, "ninput": ninput}
+    hi_i8 = chip(adc_i8, fast=False)
+    hi_f32 = chip(adc_f32, fast=False)
+    rec["int8_eq_f32"] = bool(np.array_equal(hi_i8, hi_f32))
+    ck = chip(adc_i8, fast=False, chunks=3 if nspec % 3 == 0 else 2)
+    rec["chunks_eq"] = bool(np.array_equal(hi_i8, ck))
+    same_hi, lsb_hi = nibble_cmp(hi_i8, ref_pk)
+    rec["high_vs_host"] = {"frac_identical": round(same_hi, 6),
+                           "max_lsb_diff": lsb_hi}
+    bf = chip(adc_i8, fast=True)
+    same_bf, lsb_bf = nibble_cmp(bf, ref_pk)
+    rec["bf16_vs_host"] = {"frac_identical": round(same_bf, 6),
+                           "max_lsb_diff": lsb_bf}
+    ok = (rec["int8_eq_f32"] and rec["chunks_eq"]
+          and same_hi >= 0.999 and lsb_hi <= 1
+          and same_bf >= 0.995 and lsb_bf <= 1)
+    rec["seconds"] = round(time.time() - t0, 1)
+    rec["pass"] = ok
+    art["fx"] = rec
+    print(f"[fx] int8==f32: {rec['int8_eq_f32']}  chunks==1: "
+          f"{rec['chunks_eq']}  high vs host: {same_hi:.4%}/"
+          f"<= {lsb_hi} LSB  bf16 vs host: {same_bf:.4%}/<= {lsb_bf} "
+          f"LSB — {'PASS' if ok else 'FAIL'} ({rec['seconds']} s)",
+          flush=True)
+    return ok
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="on-chip golden-parity gate at production geometry")
@@ -318,6 +421,10 @@ def main(argv=None) -> int:
     p.add_argument("--ntime", type=int, default=7200,
                    help="samples (the shipped tarballs hold 7200)")
     p.add_argument("--nstand", type=int, default=352)
+    p.add_argument("--no-fx", action="store_true",
+                   help="skip the FX channelizer leg")
+    p.add_argument("--only-fx", action="store_true",
+                   help="run only the FX channelizer leg")
     p.add_argument("--tiny", action="store_true",
                    help="small self-test config (CPU interpret mode OK)")
     args = p.parse_args(argv)
@@ -345,11 +452,31 @@ def main(argv=None) -> int:
                       "bands subsel), cti layout",
            "seed": "0xdeadbeef (reference make_golden_inputs.py:20)",
            "geometries": {}}
+    # partial runs (--only-fx / --no-fx) merge into an existing
+    # artifact so the file always carries every section's latest result
+    import os
+
+    if os.path.exists(args.out) and (args.only_fx or args.no_fx):
+        try:
+            with open(args.out) as fh:
+                prev = json.load(fh)
+            if prev.get("backend") == backend:
+                art["geometries"] = prev.get("geometries", {})
+                if "fx" in prev:
+                    art["fx"] = prev["fx"]
+        except (OSError, ValueError):
+            pass
     ok = True
-    for nchan in args.nchan:
-        ok = run_geometry(nchan, args.ntime, args.nstand, art,
-                          tiny=args.tiny) and ok
-    art["pass"] = ok
+    if not args.only_fx:
+        for nchan in args.nchan:
+            ok = run_geometry(nchan, args.ntime, args.nstand, art,
+                              tiny=args.tiny) and ok
+    if not args.no_fx:
+        ok = run_fx(art, tiny=args.tiny) and ok
+    sections = list(art["geometries"].values())
+    if "fx" in art:
+        sections.append(art["fx"])
+    art["pass"] = ok and all(s.get("pass", False) for s in sections)
     art["time_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(args.out, "w") as fh:
         json.dump(art, fh, indent=1, sort_keys=True)
