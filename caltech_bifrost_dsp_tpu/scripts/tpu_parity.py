@@ -388,7 +388,14 @@ def run_fx(art: dict, nspec: int = 600, nchan: int = 192,
     hi_i8 = chip(adc_i8, fast=False)
     hi_f32 = chip(adc_f32, fast=False)
     rec["int8_eq_f32"] = bool(np.array_equal(hi_i8, hi_f32))
-    ck = chip(adc_i8, fast=False, chunks=3 if nspec % 3 == 0 else 2)
+    # pipeline_chunks must divide the kernel's auto-chosen spectra
+    # TILE, not nspec — derive it from the same tiling policy
+    from ..ops.pallas.pfb_fused import _default_tiles
+
+    ts_auto, _ = _default_tiles(jnp.int8, nspec, ninput, False)
+    nck = next((c for c in (3, 2) if ts_auto and ts_auto % c == 0), 1)
+    ck = chip(adc_i8, fast=False, chunks=nck)
+    rec["chunks"] = nck
     rec["chunks_eq"] = bool(np.array_equal(hi_i8, ck))
     same_hi, lsb_hi = nibble_cmp(hi_i8, ref_pk)
     rec["high_vs_host"] = {"frac_identical": round(same_hi, 6),
@@ -476,13 +483,17 @@ def main(argv=None) -> int:
     sections = list(art["geometries"].values())
     if "fx" in art:
         sections.append(art["fx"])
+    # the artifact's verdict ANDs in merged sections from earlier
+    # partial runs; the exit code and banner must agree with it, not
+    # just with the legs this invocation ran
     art["pass"] = ok and all(s.get("pass", False) for s in sections)
     art["time_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(args.out, "w") as fh:
         json.dump(art, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(("PASS" if ok else "FAIL") + f" -> {args.out}", flush=True)
-    return 0 if ok else 1
+    print(("PASS" if art["pass"] else "FAIL") + f" -> {args.out}",
+          flush=True)
+    return 0 if art["pass"] else 1
 
 
 if __name__ == "__main__":

@@ -244,9 +244,15 @@ CbdXsk *cbd_xsk_create(const char *ifname, int queue_id, int port) {
 
     x->prog_fd = load_filter_prog(x->map_fd, htons((uint16_t)port),
                                   x->sg);
-    if (x->prog_fd < 0 && x->sg)  // kernel without prog_flags support
+    if (x->prog_fd < 0 && x->sg) {
+      // kernel accepted the SG bind but rejects BPF_F_XDP_HAS_FRAGS:
+      // a non-frags program never sees multi-frag packets, so the
+      // capability must be reported as single-buffer or callers would
+      // believe jumbo frames are carried while they silently vanish
+      x->sg = false;
       x->prog_fd = load_filter_prog(x->map_fd, htons((uint16_t)port),
                                     false);
+    }
     if (x->prog_fd < 0) break;
     union bpf_attr lattr{};
     lattr.link_create.prog_fd = x->prog_fd;
@@ -304,7 +310,11 @@ void cbd_xsk_rx_loop(CbdCapture *c) {
           // multi-buffer packet: the kernel posts its fragments as
           // consecutive descriptors, all but the last flagged CONTD.
           // Reassemble (bounded), then process the payload once.
-          if (x->frag_buf.size() + d.len <= 65536)
+          // cap = max UDP payload the recvmmsg engine carries (64 KiB)
+          // PLUS the 42-byte eth/ip/udp headers that ride in frame 0 —
+          // otherwise a maximum-size datagram is engine-dependently
+          // dropped here while the socket engine processes it
+          if (x->frag_buf.size() + d.len <= 65536 + 42)
             x->frag_buf.insert(x->frag_buf.end(), frame, frame + d.len);
           else
             x->frag_overflow = true;  // poison: drop at completion

@@ -22,6 +22,8 @@ import time
 import numpy as np
 import pytest
 
+import artifacts
+
 from caltech_bifrost_dsp_tpu import config as cfgmod
 from caltech_bifrost_dsp_tpu.control.client import (CorrControlClient,
                                                     PipelineControl)
@@ -45,27 +47,12 @@ CAP_PORT = 19850
 #: Machine-readable soak evidence (VERDICT r4 #5): duration, gulps,
 #: loss, resync count, dump counts, and the sampled RSS trajectory per
 #: leg, written every CBD_SOAK run.
-_SOAK_ARTIFACT = os.environ.get(
-    "CBD_SOAK_ARTIFACT",
-    os.path.join(os.path.dirname(__file__), "..", "SOAK_r05.json"))
+_SOAK_ARTIFACT = artifacts.artifact_path("CBD_SOAK_ARTIFACT",
+                                         "SOAK_r05.json")
 
 
 def _record_soak(leg: str, rec: dict):
-    import json
-
-    path = os.path.abspath(_SOAK_ARTIFACT)
-    try:
-        with open(path) as fh:
-            doc = json.load(fh)
-    except (OSError, ValueError):
-        doc = {}
-    rec["time_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    doc[leg] = rec
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    os.replace(tmp, path)
+    artifacts.record_artifact(_SOAK_ARTIFACT, leg, rec)
 
 
 class _RssSampler:
@@ -75,7 +62,7 @@ class _RssSampler:
     def __init__(self, period_s: float = 5.0):
         self.period_s = period_s
         self.samples: list = []
-        self._stop = False
+        self._stop = threading.Event()
         self._page = os.sysconf("SC_PAGESIZE")
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -86,14 +73,17 @@ class _RssSampler:
 
     def _loop(self):
         t0 = time.monotonic()
-        while not self._stop:
+        while not self._stop.is_set():
             self.samples.append([round(time.monotonic() - t0, 1),
                                  round(self._rss_mb(), 1)])
-            time.sleep(self.period_s)
+            self._stop.wait(self.period_s)
 
     def stop(self) -> list:
-        self._stop = True
-        self.thread.join(timeout=5)
+        # Event.wait wakes the thread immediately, so the join cannot
+        # time out mid-sleep and the returned list is no longer
+        # appended to concurrently with json.dump
+        self._stop.set()
+        self.thread.join(timeout=self.period_s + 5)
         return self.samples
 
 FX_CFG = cfgmod.XEngineConfig(
