@@ -142,6 +142,39 @@ def test_xdp_multibuffer_carries_production_jumbo_frames():
     cap.close()
 
 
+def test_xdp_max_size_datagram_does_not_poison_stream():
+    """A maximum-size UDP datagram (65507 B payload = 65549 B with
+    eth/ip/udp headers) through the multi-buffer path: the reassembly
+    cap must admit it (payload cap + the 42 header bytes riding in
+    frag 0 — previously engine-dependently dropped), the malformed
+    snap2 content must be rejected gracefully, and subsequent valid
+    gulps must still arrive byte-exact."""
+    import socket
+
+    cap = _xdp_cap(23467)
+    cap.start()
+    if not cap.xdp_multibuffer:
+        cap.close()
+        pytest.skip("kernel without AF_XDP multi-buffer (XDP_USE_SG)")
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 20)
+    s.sendto(b"\xff" * 65507, ("127.0.0.1", 23467))  # ~17 XDP frags
+    s.close()
+    rng = np.random.RandomState(13)
+    data = rng.randint(0, 256, [CFG.ntime_gulp, CFG.nchan, CFG.ninput]
+                       ).astype(np.uint8)
+    for g in range(2):
+        native.transmit_gulp("127.0.0.1", 23467, data,
+                             seq0=g * CFG.ntime_gulp,
+                             nchan_per_pkt=8, npol_per_pkt=CFG.ninput)
+    for g in range(2):
+        seq0, gulp = cap.get_gulp(timeout_s=3.0)
+        assert seq0 == g * CFG.ntime_gulp
+        np.testing.assert_array_equal(gulp, data)
+    assert cap.stats()["nmissing"] == 0
+    cap.close()
+
+
 @pytest.mark.skipif(os.environ.get("CBD_FULL_RATE") != "1",
                     reason="full-rate gate: set CBD_FULL_RATE=1 on a "
                            "quiet host")
