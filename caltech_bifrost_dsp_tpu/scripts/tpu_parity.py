@@ -421,7 +421,11 @@ def run_fx(art: dict, nspec: int = 600, nchan: int = 192,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="on-chip golden-parity gate at production geometry")
-    p.add_argument("--out", default="TPUPARITY_r05.json")
+    p.add_argument("--out", default=None,
+                   help="artifact path (default TPUPARITY_r05.json for "
+                        "a real on-chip run; a throwaway /tmp path for "
+                        "--tiny / CPU self-tests so they cannot "
+                        "overwrite the committed on-chip evidence)")
     p.add_argument("--nchan", type=int, nargs="+", default=[192, 184],
                    help="channel geometries (the reference ships 192c "
                         "and 184c vectors)")
@@ -447,6 +451,10 @@ def main(argv=None) -> int:
 
     backend = jax.default_backend()
     dev = str(jax.devices()[0])
+    if args.out is None:
+        args.out = ("TPUPARITY_r05.json"
+                    if backend != "cpu" and not args.tiny
+                    else "/tmp/tpuparity_selftest.json")
     if backend == "cpu" and not args.tiny:
         print("ERROR: this gate must run on the real TPU (backend is "
               "'cpu'; Pallas would run in interpret mode and prove "

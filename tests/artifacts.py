@@ -19,16 +19,27 @@ def artifact_path(env_var: str, default_name: str) -> str:
 
 
 def record_artifact(path: str, key: str, rec: dict) -> None:
+    import fcntl
+
     path = os.path.abspath(path)
+    # flock across the read-modify-replace so concurrent gate runs
+    # (pytest-xdist, an overlapping manual run) cannot drop each
+    # other's sections
+    lock = open(path + ".lock", "w")
     try:
-        with open(path) as fh:
-            doc = json.load(fh)
-    except (OSError, ValueError):
-        doc = {}
-    rec["time_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    doc[key] = rec
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    os.replace(tmp, path)
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            doc = {}
+        rec["time_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                        time.gmtime())
+        doc[key] = rec
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.replace(tmp, path)
+    finally:
+        lock.close()
